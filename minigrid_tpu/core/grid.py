@@ -1,0 +1,119 @@
+"""Functional array-grid operations.
+
+Replaces the reference ``Grid`` class (``minigrid/core/grid.py:20-328``). A
+grid is a ``(W, H, 5)`` uint8 array indexed ``grid[x, y]`` — the same (column,
+row) convention as the reference's ``Grid.get(i, j)`` and the same channel
+semantics as ``Grid.encode`` (grid.py:244-268) — so ``encode`` here is a pure
+slice, not a loop. All builders take traced or static coordinates and operate
+with masks, so procedural generation composes under ``jit``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import constants as C
+
+
+def empty_grid(width: int, height: int) -> jax.Array:
+    """All-empty grid of static shape (width, height, 5)."""
+    return jnp.broadcast_to(
+        jnp.asarray(C.EMPTY_CELL), (width, height, C.NUM_CHANNELS)
+    ).astype(jnp.uint8)
+
+
+def coord_grids(width: int, height: int) -> tuple[jax.Array, jax.Array]:
+    """(W, H) int32 arrays of x and y coordinates."""
+    xs = jax.lax.broadcasted_iota(jnp.int32, (width, height), 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (width, height), 1)
+    return xs, ys
+
+
+def set_cell(grid: jax.Array, x, y, cell) -> jax.Array:
+    """Write one cell; x/y may be traced scalars (reference grid.py:65-72)."""
+    return grid.at[x, y].set(jnp.asarray(cell, jnp.uint8))
+
+
+def get_cell(grid: jax.Array, x, y) -> jax.Array:
+    return grid[x, y]
+
+
+def fill_rect(grid: jax.Array, x0, y0, w, h, cell) -> jax.Array:
+    """Set every cell of the rectangle [x0, x0+w) x [y0, y0+h) to ``cell``.
+
+    Mask-based so the rectangle bounds can be traced values. Covers the
+    reference's ``horz_wall``/``vert_wall``/``wall_rect`` (grid.py:80-108).
+    """
+    xs, ys = coord_grids(grid.shape[0], grid.shape[1])
+    mask = (xs >= x0) & (xs < x0 + w) & (ys >= y0) & (ys < y0 + h)
+    return jnp.where(mask[..., None], jnp.asarray(cell, jnp.uint8), grid)
+
+
+def horz_wall(grid, x, y, length=None, cell=None):
+    if length is None:
+        length = grid.shape[0] - x
+    cell = C.WALL_CELL if cell is None else cell
+    return fill_rect(grid, x, y, length, 1, cell)
+
+
+def vert_wall(grid, x, y, length=None, cell=None):
+    if length is None:
+        length = grid.shape[1] - y
+    cell = C.WALL_CELL if cell is None else cell
+    return fill_rect(grid, x, y, 1, length, cell)
+
+
+def wall_rect(grid, x, y, w, h):
+    grid = horz_wall(grid, x, y, w)
+    grid = fill_rect(grid, x, y + h - 1, w, 1, C.WALL_CELL)
+    grid = vert_wall(grid, x, y, h)
+    grid = fill_rect(grid, x + w - 1, y, 1, h, C.WALL_CELL)
+    return grid
+
+
+def encode(grid: jax.Array, vis_mask: jax.Array | None = None) -> jax.Array:
+    """(W, H, 3) uint8 observation encoding (reference grid.py:244-268).
+
+    Invisible cells become (0, 0, 0) = unseen, exactly as the reference's
+    zero-initialized encode array leaves them.
+    """
+    img = grid[..., :3]
+    if vis_mask is not None:
+        img = jnp.where(vis_mask[..., None], img, jnp.zeros((), jnp.uint8))
+    return img
+
+
+def decode(array) -> jax.Array:
+    """Inverse of :func:`encode`; contents channels are zeroed.
+
+    Mirrors ``Grid.decode`` (reference grid.py:270-289): 'unseen'/'agent'
+    triples also map to cells here (callers that need the reference's
+    None-collapse should mask first).
+    """
+    array = jnp.asarray(array, jnp.uint8)
+    w, h, c = array.shape
+    assert c == 3
+    pad = jnp.zeros((w, h, 2), jnp.uint8)
+    return jnp.concatenate([array, pad], axis=-1)
+
+
+def transparent_mask(grid: jax.Array) -> jax.Array:
+    """(W, H) bool — per-cell ``see_behind`` (world_object.py:57-59,164,181)."""
+    t = grid[..., 0]
+    is_wall = t == C.WALL
+    closed_door = (t == C.DOOR) & (grid[..., 2] != C.OPEN)
+    return ~(is_wall | closed_door)
+
+
+def can_overlap_mask(grid: jax.Array) -> jax.Array:
+    """(W, H) bool — cells the agent may enter (world_object.py:45-47,177)."""
+    t = grid[..., 0]
+    base = jnp.asarray(C.CAN_OVERLAP_TABLE)[t]
+    open_door = (t == C.DOOR) & (grid[..., 2] == C.OPEN)
+    return base | open_door
+
+
+def free_mask(grid: jax.Array) -> jax.Array:
+    """(W, H) bool — cells containing no object (``grid.get(*pos) is None``)."""
+    return grid[..., 0] == C.EMPTY

@@ -1,0 +1,70 @@
+"""Egocentric partial-observation kernel.
+
+The reference builds the agent view by materializing a sub-``Grid`` and
+rotating it 1-4 times (``minigrid_env.py:597-632`` calling ``grid.slice`` and
+``grid.rotate_left``, grid.py:110-143). Here the slice+rotate collapse into a
+single gather: for each view cell (vx, vy) the world coordinate is the affine
+map ``top_left + right_vec*vx - dir_vec*vy`` (the inverse of the reference's
+``get_view_coords``, minigrid_env.py:426-451), so one advanced-index read
+produces the already-rotated view. Out-of-bounds reads yield walls
+(grid.py:139). Occlusion comes from :mod:`minigrid_tpu.core.visibility`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid as G
+from minigrid_tpu.core.types import EnvParams, EnvState
+from minigrid_tpu.core.visibility import process_vis
+
+
+def view_world_coords(params: EnvParams, agent_pos, agent_dir):
+    """(V, V) world x/y indices for every view cell, agent frame."""
+    V = params.view_size
+    hs = V // 2
+    f = jnp.asarray(C.DIR_TO_VEC)[agent_dir]           # forward (dx, dy)
+    r = jnp.stack([-f[1], f[0]])                        # right vec
+    top_left = agent_pos + f * (V - 1) - r * hs
+    vx = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0)
+    vy = jax.lax.broadcasted_iota(jnp.int32, (V, V), 1)
+    wx = top_left[0] + r[0] * vx - f[0] * vy
+    wy = top_left[1] + r[1] * vx - f[1] * vy
+    return wx, wy
+
+
+def gen_obs_grid(params: EnvParams, state: EnvState):
+    """View cells (V, V, 5) + visibility mask (V, V), both agent-frame."""
+    V = params.view_size
+    wx, wy = view_world_coords(params, state.agent_pos, state.agent_dir)
+    inb = (wx >= 0) & (wx < params.width) & (wy >= 0) & (wy < params.height)
+    cells = state.grid[
+        jnp.clip(wx, 0, params.width - 1), jnp.clip(wy, 0, params.height - 1)
+    ]
+    cells = jnp.where(inb[..., None], cells, jnp.asarray(C.WALL_CELL))
+
+    if params.see_through_walls:
+        vis = jnp.ones((V, V), bool)
+    else:
+        vis = process_vis(G.transparent_mask(cells), V // 2)
+
+    # carried-object overlay at the agent cell (minigrid_env.py:626-630);
+    # carrying == EMPTY_CELL reproduces the reference's set-to-None.
+    cells = cells.at[V // 2, V - 1].set(state.carrying)
+    return cells, vis
+
+
+def gen_obs(params: EnvParams, state: EnvState):
+    """Observation dict {image, direction, mission} (minigrid_env.py:634-650).
+
+    ``mission`` is the tokenized instruction (int32 ids) rather than a Python
+    string — realize text host-side with core.mission.detokenize.
+    """
+    cells, vis = gen_obs_grid(params, state)
+    return {
+        "image": G.encode(cells, vis),
+        "direction": state.agent_dir,
+        "mission": state.mission,
+    }

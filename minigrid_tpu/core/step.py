@@ -1,0 +1,134 @@
+"""The branchless environment transition kernel.
+
+Re-design of the reference hot loop (``minigrid/minigrid_env.py:525-595``):
+the action branch ladder, the per-object virtual dispatch (``can_overlap``/
+``can_pickup``/``toggle``, world_object.py:45-63,177-194,290-293) and the
+mutable grid update all become a fixed dataflow of table gathers, compares
+and ``where`` selects plus exactly one cell gather and one cell scatter —
+so thousands of envs step in lockstep under ``jit(vmap(step))`` with no
+divergent control flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.actions import Actions
+from minigrid_tpu.core.types import EnvParams, EnvState
+
+
+def reward_on_success(params: EnvParams, step_count) -> jax.Array:
+    """``1 - 0.9 * step_count / max_steps`` (minigrid_env.py:240-245)."""
+    return 1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps)
+
+
+def step_core(params: EnvParams, state: EnvState, action) -> tuple[EnvState, jax.Array, jax.Array]:
+    """One transition. Returns (new_state, reward, terminated).
+
+    Truncation (step_count >= max_steps, minigrid_env.py:587) is recorded in
+    ``new_state.truncated``; callers compose it with env-specific reward /
+    termination overrides before generating observations.
+    """
+    action = jnp.asarray(action, jnp.int32)
+    step_count = state.step_count + 1
+
+    # --- direction update (minigrid_env.py:541-548) --------------------
+    turn = jnp.where(
+        action == Actions.left, -1, jnp.where(action == Actions.right, 1, 0)
+    )
+    new_dir = (state.agent_dir + turn) % 4
+
+    # --- front cell (minigrid_env.py:535-538) --------------------------
+    fwd = state.agent_pos + jnp.asarray(C.DIR_TO_VEC)[state.agent_dir]
+    fx = jnp.clip(fwd[0], 0, params.width - 1)
+    fy = jnp.clip(fwd[1], 0, params.height - 1)
+    in_bounds = (fwd[0] == fx) & (fwd[1] == fy)
+    fwd_cell = jnp.where(in_bounds, state.grid[fx, fy], jnp.asarray(C.WALL_CELL))
+    ftype = fwd_cell[0].astype(jnp.int32)
+    fcolor = fwd_cell[1]
+    fstate = fwd_cell[2]
+
+    carrying = state.carrying
+    is_carrying = carrying[0] != C.EMPTY
+
+    # --- forward (minigrid_env.py:551-558) -----------------------------
+    can_overlap = jnp.asarray(C.CAN_OVERLAP_TABLE)[ftype] | (
+        (ftype == C.DOOR) & (fstate == C.OPEN)
+    )
+    is_forward = action == Actions.forward
+    new_pos = jnp.where(is_forward & can_overlap & in_bounds, fwd, state.agent_pos)
+    hits_goal = is_forward & (ftype == C.GOAL)
+    hits_lava = is_forward & (ftype == C.LAVA)
+    terminated = hits_goal | hits_lava
+    reward = jnp.where(hits_goal, reward_on_success(params, step_count), 0.0)
+
+    # --- pickup (minigrid_env.py:561-566) ------------------------------
+    do_pickup = (
+        (action == Actions.pickup)
+        & jnp.asarray(C.CAN_PICKUP_TABLE)[ftype]
+        & ~is_carrying
+    )
+
+    # --- drop (minigrid_env.py:569-573) --------------------------------
+    do_drop = (action == Actions.drop) & (ftype == C.EMPTY) & is_carrying
+
+    # --- toggle: door unlock/open/close (world_object.py:184-194) ------
+    is_toggle = action == Actions.toggle
+    is_door = ftype == C.DOOR
+    has_matching_key = (carrying[0] == C.KEY) & (carrying[1] == fcolor)
+    unlocks = (fstate == C.LOCKED) & has_matching_key
+    # unlocked doors flip open<->closed; locked doors only open with the key
+    toggled_door_state = jnp.where(
+        fstate == C.LOCKED,
+        jnp.where(unlocks, C.OPEN, C.LOCKED),
+        jnp.where(fstate == C.OPEN, C.CLOSED, C.OPEN),
+    ).astype(jnp.uint8)
+    door_cell = fwd_cell.at[2].set(toggled_door_state)
+
+    # --- toggle: box reveals contents (world_object.py:290-293) --------
+    is_box = ftype == C.BOX
+    has_contents = fwd_cell[3] != 0
+    contents_cell = jnp.where(
+        has_contents,
+        jnp.stack(
+            [
+                fwd_cell[3],
+                fwd_cell[4],
+                jnp.zeros((), jnp.uint8),
+                jnp.zeros((), jnp.uint8),
+                jnp.zeros((), jnp.uint8),
+            ]
+        ),
+        jnp.asarray(C.EMPTY_CELL),
+    )
+
+    # --- resolve the front cell's new value ----------------------------
+    new_fwd_cell = fwd_cell
+    new_fwd_cell = jnp.where(do_pickup, jnp.asarray(C.EMPTY_CELL), new_fwd_cell)
+    new_fwd_cell = jnp.where(do_drop, carrying, new_fwd_cell)
+    new_fwd_cell = jnp.where(is_toggle & is_door, door_cell, new_fwd_cell)
+    new_fwd_cell = jnp.where(is_toggle & is_box, contents_cell, new_fwd_cell)
+
+    write = in_bounds & (do_pickup | do_drop | (is_toggle & (is_door | is_box)))
+    new_grid = state.grid.at[fx, fy].set(
+        jnp.where(write, new_fwd_cell, state.grid[fx, fy])
+    )
+
+    new_carrying = jnp.where(
+        do_pickup, fwd_cell, jnp.where(do_drop, jnp.asarray(C.EMPTY_CELL), carrying)
+    )
+
+    truncated = step_count >= params.max_steps
+
+    new_state = state.replace(
+        grid=new_grid,
+        agent_pos=new_pos,
+        agent_dir=new_dir,
+        carrying=new_carrying,
+        step_count=step_count,
+        terminated=terminated,
+        truncated=truncated,
+    )
+    return new_state, reward, terminated

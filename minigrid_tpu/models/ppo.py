@@ -1,0 +1,153 @@
+"""PPO learner over batched device-resident environments.
+
+End-to-end on-device training: the rollout is a ``lax.scan`` whose body steps
+B vmapped envs *and* evaluates the policy — no host round-trips — followed by
+GAE and a clipped surrogate update. The whole train step is one jittable
+function, so under a mesh (parallel/mesh.py) the batch axis shards over
+``data`` and the network over ``model`` with XLA inserting the gradient
+psums (the reference has no training stack at all; this replaces the
+external rl-starter-files pointed to by its README).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from minigrid_tpu.models.actor_critic import ActorCritic
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    num_envs: int = 4096
+    rollout_len: int = 128
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 2.5e-4
+    max_grad_norm: float = 0.5
+    num_epochs: int = 2
+    num_minibatches: int = 4
+
+
+class Transition(NamedTuple):
+    obs: Any
+    action: jax.Array
+    log_prob: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    done: jax.Array
+
+
+def make_optimizer(cfg: PPOConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.lr),
+    )
+
+
+def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer):
+    """Returns train_step(params, opt_state, env_state, obs, key) -> ..."""
+
+    step_env = jax.vmap(env.step_autoreset)
+
+    def rollout(params, env_state, obs, key):
+        def body(carry, _):
+            env_state, obs, key = carry
+            key, k_act, k_step = jax.random.split(key, 3)
+            logits, value = model.apply(params, obs)
+            action = jax.random.categorical(k_act, logits)
+            log_prob = jax.nn.log_softmax(logits)[
+                jnp.arange(action.shape[0]), action
+            ]
+            keys = jax.random.split(k_step, action.shape[0])
+            obs2, env_state2, reward, term, trunc, _ = step_env(
+                keys, env_state, action
+            )
+            t = Transition(obs, action, log_prob, value, reward, term | trunc)
+            return (env_state2, obs2, key), t
+
+        (env_state, obs, key), traj = jax.lax.scan(
+            body, (env_state, obs, key), None, length=cfg.rollout_len
+        )
+        return env_state, obs, key, traj
+
+    def gae(traj: Transition, last_value):
+        def body(carry, t):
+            adv_next, v_next = carry
+            nonterm = 1.0 - t.done.astype(jnp.float32)
+            delta = t.reward + cfg.gamma * v_next * nonterm - t.value
+            adv = delta + cfg.gamma * cfg.gae_lambda * nonterm * adv_next
+            return (adv, t.value), adv
+
+        _, advs = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value), traj, reverse=True
+        )
+        return advs, advs + traj.value
+
+    def loss_fn(params, batch: Transition, adv, ret):
+        logits, value = model.apply(params, batch.obs)
+        log_probs = jax.nn.log_softmax(logits)
+        lp = jnp.take_along_axis(log_probs, batch.action[..., None], -1)[..., 0]
+        ratio = jnp.exp(lp - batch.log_prob)
+        norm_adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg1 = ratio * norm_adv
+        pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * norm_adv
+        pg_loss = -jnp.minimum(pg1, pg2).mean()
+        v_loss = 0.5 * jnp.square(value - ret).mean()
+        entropy = -(jnp.exp(log_probs) * log_probs).sum(-1).mean()
+        total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+        return total, {
+            "loss": total, "pg_loss": pg_loss, "v_loss": v_loss,
+            "entropy": entropy,
+        }
+
+    def train_step(params, opt_state, env_state, obs, key):
+        env_state, obs, key, traj = rollout(params, env_state, obs, key)
+        _, last_value = model.apply(params, obs)
+        adv, ret = gae(traj, last_value)
+
+        # flatten (T, B) -> (T*B)
+        flat = jax.tree.map(
+            lambda x: x.reshape(x.shape[0] * x.shape[1], *x.shape[2:]), traj
+        )
+        adv_f = adv.reshape(-1)
+        ret_f = ret.reshape(-1)
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, kperm = jax.random.split(key)
+            n = adv_f.shape[0]
+            perm = jax.random.permutation(kperm, n)
+            mb = n // cfg.num_minibatches
+
+            def mini(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+                batch = jax.tree.map(lambda x: x[idx], flat)
+                (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, batch, adv_f[idx], ret_f[idx]
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            (params, opt_state), metrics = jax.lax.scan(
+                mini, (params, opt_state), jnp.arange(cfg.num_minibatches)
+            )
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, key), metrics = jax.lax.scan(
+            epoch, (params, opt_state, key), None, length=cfg.num_epochs
+        )
+        metrics = jax.tree.map(lambda x: x.mean(), metrics)
+        metrics["mean_reward"] = traj.reward.mean()
+        return params, opt_state, env_state, obs, key, metrics
+
+    return train_step

@@ -1,0 +1,25 @@
+"""Lockstep dynamics/observation parity vs the reference, per environment.
+
+IMPLEMENTED_IDS grows as the catalog is built; every entry is rolled out
+against the reference oracle with several seeds and random action sequences.
+"""
+
+import pytest
+
+from tests.ref_oracle import run_parity_rollout
+
+IMPLEMENTED_IDS = [
+    "MiniGrid-Empty-5x5-v0",
+    "MiniGrid-Empty-Random-5x5-v0",
+    "MiniGrid-Empty-8x8-v0",
+    "MiniGrid-Empty-16x16-v0",
+    "MiniGrid-DoorKey-5x5-v0",
+    "MiniGrid-DoorKey-8x8-v0",
+    "MiniGrid-DoorKey-16x16-v0",
+]
+
+
+@pytest.mark.parametrize("env_id", IMPLEMENTED_IDS)
+@pytest.mark.parametrize("seed", [0, 1, 7])
+def test_lockstep_parity(env_id, seed):
+    run_parity_rollout(env_id, seed, n_steps=80)
