@@ -93,6 +93,11 @@ class MiniGridEnv:
         state = self._gen_grid(key)
         return gen_obs(self.params, state), state
 
+    def _transform_action(self, state: EnvState, action):
+        """Action remapping before the core transition (e.g. Memory maps
+        pickup->toggle, envs/memory.py:153-154)."""
+        return action
+
     def _pre_step(self, key, state: EnvState, action) -> EnvState:
         """Dynamics occurring before the agent transition (e.g. moving
         obstacles, envs/dynamicobstacles.py:136-159)."""
@@ -105,6 +110,7 @@ class MiniGridEnv:
 
     def step(self, key: jax.Array, state: EnvState, action):
         prev = state
+        action = self._transform_action(state, action)
         state = self._pre_step(key, state, action)
         new_state, reward, terminated = step_core(self.params, state, action)
         new_state, reward, terminated = self._post_step(

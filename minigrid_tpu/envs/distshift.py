@@ -1,0 +1,36 @@
+"""DistShift environment (reference minigrid/envs/distshift.py:75-120)."""
+
+from __future__ import annotations
+
+import jax
+
+from minigrid_tpu.core import grid as G
+from minigrid_tpu.core.types import EnvParams
+from minigrid_tpu.envs import common as X
+from minigrid_tpu.envs.base import MiniGridEnv
+
+
+class DistShiftEnv(MiniGridEnv):
+    """Two lava strips; the variant shifts the second strip's row."""
+
+    name = "DistShift"
+
+    def __init__(self, width=9, height=7, agent_start_pos=(1, 1),
+                 agent_start_dir=0, strip2_row=2, max_steps=None, **kw):
+        if max_steps is None:
+            max_steps = 4 * width * height
+        super().__init__(EnvParams(width=width, height=height,
+                                   max_steps=max_steps, see_through_walls=True, **kw))
+        self.agent_start_pos = agent_start_pos
+        self.agent_start_dir = agent_start_dir
+        self.strip2_row = strip2_row
+
+    def _gen_grid(self, key):
+        p = self.params
+        grid = G.wall_rect(G.empty_grid(p.width, p.height), 0, 0, p.width, p.height)
+        grid = G.set_cell(grid, p.width - 2, 1, X.GOAL_CELL)
+        n = p.width - 6
+        grid = G.fill_rect(grid, 3, 1, n, 1, X.LAVA_CELL)
+        grid = G.fill_rect(grid, 3, self.strip2_row, n, 1, X.LAVA_CELL)
+        return self.make_state(grid, self.agent_start_pos, self.agent_start_dir,
+                               rng=key)

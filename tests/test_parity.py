@@ -16,6 +16,20 @@ IMPLEMENTED_IDS = [
     "MiniGrid-DoorKey-5x5-v0",
     "MiniGrid-DoorKey-8x8-v0",
     "MiniGrid-DoorKey-16x16-v0",
+    "MiniGrid-DistShift1-v0",
+    "MiniGrid-DistShift2-v0",
+    "MiniGrid-LavaGapS5-v0",
+    "MiniGrid-LavaGapS7-v0",
+    "MiniGrid-LavaCrossingS9N2-v0",
+    "MiniGrid-SimpleCrossingS11N5-v0",
+    "MiniGrid-FourRooms-v0",
+    "MiniGrid-MemoryS13-v0",
+    "MiniGrid-MemoryS17Random-v0",
+    "MiniGrid-Fetch-8x8-N3-v0",
+    "MiniGrid-GoToDoor-8x8-v0",
+    "MiniGrid-GoToObject-8x8-N2-v0",
+    "MiniGrid-PutNear-8x8-N3-v0",
+    "MiniGrid-RedBlueDoors-8x8-v0",
 ]
 
 
