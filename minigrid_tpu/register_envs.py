@@ -93,6 +93,85 @@ def register_all() -> None:
     register("MiniGrid-MemoryS9-v0", MemoryEnv, size=9)
     register("MiniGrid-MemoryS7-v0", MemoryEnv, size=7)
 
+    from minigrid_tpu.envs.keycorridor import KeyCorridorEnv
+    from minigrid_tpu.envs.lockedroom import LockedRoomEnv
+    from minigrid_tpu.envs.multiroom import MultiRoomEnv
+    from minigrid_tpu.envs.obstructedmaze import (
+        ObstructedMaze_1Dlhb,
+        ObstructedMaze_Full,
+    )
+    from minigrid_tpu.envs.playground import PlaygroundEnv
+    from minigrid_tpu.envs.unlock import (
+        BlockedUnlockPickupEnv,
+        UnlockEnv,
+        UnlockPickupEnv,
+    )
+
+    # BlockedUnlockPickup (reference :17-20)
+    register("MiniGrid-BlockedUnlockPickup-v0", BlockedUnlockPickupEnv)
+
+    # KeyCorridor (reference :255-288)
+    register("MiniGrid-KeyCorridorS3R1-v0", KeyCorridorEnv, room_size=3, num_rows=1)
+    register("MiniGrid-KeyCorridorS3R2-v0", KeyCorridorEnv, room_size=3, num_rows=2)
+    register("MiniGrid-KeyCorridorS3R3-v0", KeyCorridorEnv, room_size=3, num_rows=3)
+    register("MiniGrid-KeyCorridorS4R3-v0", KeyCorridorEnv, room_size=4, num_rows=3)
+    register("MiniGrid-KeyCorridorS5R3-v0", KeyCorridorEnv, room_size=5, num_rows=3)
+    register("MiniGrid-KeyCorridorS6R3-v0", KeyCorridorEnv, room_size=6, num_rows=3)
+
+    # LockedRoom (reference :315-318)
+    register("MiniGrid-LockedRoom-v0", LockedRoomEnv)
+
+    # MultiRoom (reference :362-384; N4-S5-v0 is the documented legacy
+    # misconfiguration for 6 rooms)
+    register("MiniGrid-MultiRoom-N2-S4-v0", MultiRoomEnv, minNumRooms=2,
+             maxNumRooms=2, maxRoomSize=4)
+    register("MiniGrid-MultiRoom-N4-S5-v0", MultiRoomEnv, minNumRooms=6,
+             maxNumRooms=6, maxRoomSize=5)
+    register("MiniGrid-MultiRoom-N4-S5-v1", MultiRoomEnv, minNumRooms=4,
+             maxNumRooms=4, maxRoomSize=5)
+    register("MiniGrid-MultiRoom-N6-v0", MultiRoomEnv, minNumRooms=6,
+             maxNumRooms=6)
+
+    # ObstructedMaze (reference :390-514)
+    register("MiniGrid-ObstructedMaze-1Dl-v0", ObstructedMaze_1Dlhb,
+             key_in_box=False, blocked=False)
+    register("MiniGrid-ObstructedMaze-1Dlh-v0", ObstructedMaze_1Dlhb,
+             key_in_box=True, blocked=False)
+    register("MiniGrid-ObstructedMaze-1Dlhb-v0", ObstructedMaze_1Dlhb)
+    register("MiniGrid-ObstructedMaze-2Dl-v0", ObstructedMaze_Full,
+             agent_room=(2, 1), key_in_box=False, blocked=False,
+             num_quarters=1, num_rooms_visited=4)
+    register("MiniGrid-ObstructedMaze-2Dlh-v0", ObstructedMaze_Full,
+             agent_room=(2, 1), key_in_box=True, blocked=False,
+             num_quarters=1, num_rooms_visited=4)
+    register("MiniGrid-ObstructedMaze-2Dlhb-v0", ObstructedMaze_Full,
+             agent_room=(2, 1), key_in_box=True, blocked=True,
+             num_quarters=1, num_rooms_visited=4)
+    register("MiniGrid-ObstructedMaze-1Q-v0", ObstructedMaze_Full,
+             agent_room=(1, 1), key_in_box=True, blocked=True,
+             num_quarters=1, num_rooms_visited=5)
+    register("MiniGrid-ObstructedMaze-2Q-v0", ObstructedMaze_Full,
+             agent_room=(2, 1), key_in_box=True, blocked=True,
+             num_quarters=2, num_rooms_visited=11)
+    register("MiniGrid-ObstructedMaze-Full-v0", ObstructedMaze_Full)
+    register("MiniGrid-ObstructedMaze-2Dlhb-v1", ObstructedMaze_Full,
+             agent_room=(2, 1), key_in_box=True, blocked=True,
+             num_quarters=1, num_rooms_visited=4, v1=True)
+    register("MiniGrid-ObstructedMaze-1Q-v1", ObstructedMaze_Full,
+             agent_room=(1, 1), key_in_box=True, blocked=True,
+             num_quarters=1, num_rooms_visited=5, v1=True)
+    register("MiniGrid-ObstructedMaze-2Q-v1", ObstructedMaze_Full,
+             agent_room=(2, 1), key_in_box=True, blocked=True,
+             num_quarters=2, num_rooms_visited=11, v1=True)
+    register("MiniGrid-ObstructedMaze-Full-v1", ObstructedMaze_Full, v1=True)
+
+    # Playground (reference :519-522)
+    register("MiniGrid-Playground-v0", PlaygroundEnv)
+
+    # Unlock / UnlockPickup (reference :553-561)
+    register("MiniGrid-Unlock-v0", UnlockEnv)
+    register("MiniGrid-UnlockPickup-v0", UnlockPickupEnv)
+
     # PutNear (reference :527-535)
     register("MiniGrid-PutNear-6x6-N2-v0", PutNearEnv)
     register("MiniGrid-PutNear-8x8-N3-v0", PutNearEnv, size=8, numObjs=3)

@@ -181,3 +181,84 @@ def test_putnear_objects_apart():
         for i in range(3):
             for j in range(i + 1, 3):
                 assert np.abs(objs[i] - objs[j]).max() > 1, "objects adjacent"
+
+
+def test_keycorridor_structure():
+    _, _, states = batch_reset("MiniGrid-KeyCorridorS6R3-v0", n=32)
+    for b in range(32):
+        grid = states.grid[b]
+        types, colors, dstates = grid[..., 0], grid[..., 1], grid[..., 2]
+        locked = np.argwhere((types == C.DOOR) & (dstates == 2))
+        assert len(locked) == 1, "exactly one locked door"
+        lx, ly = locked[0]
+        keys = np.argwhere((types == C.KEY) & (colors == colors[lx, ly]))
+        assert len(keys) >= 1, "key matching the locked door"
+        # target ball behind the locked door is reachable once opened
+        target = (types == C.BALL) & (
+            colors == int(states.extra["target_color"][b]))
+        doors_open = types == C.DOOR
+        assert reachable(grid, states.agent_pos[b], target,
+                         extra_passable=doors_open | (types == C.KEY))
+
+
+def test_unlock_structure():
+    for env_id in ["MiniGrid-Unlock-v0", "MiniGrid-UnlockPickup-v0",
+                   "MiniGrid-BlockedUnlockPickup-v0"]:
+        _, _, states = batch_reset(env_id, n=32)
+        for b in range(32):
+            grid = states.grid[b]
+            types, colors, dstates = grid[..., 0], grid[..., 1], grid[..., 2]
+            locked = np.argwhere((types == C.DOOR) & (dstates == 2))
+            assert len(locked) == 1, env_id
+            lx, ly = locked[0]
+            assert ((types == C.KEY) & (colors == colors[lx, ly])).any(), env_id
+
+
+def test_obstructed_v1_never_covers_keys():
+    """v1 invariant: blockers can never erase a key box
+    (reference obstructedmaze_v1.py; tests/test_obstructed_maze.py)."""
+    for env_id, quarters in [("MiniGrid-ObstructedMaze-2Dlhb-v1", 1),
+                             ("MiniGrid-ObstructedMaze-Full-v1", 4)]:
+        _, _, states = batch_reset(env_id, n=256)
+        grids = states.grid
+        types, colors = grids[..., 0], grids[..., 1]
+        n_boxes = ((types == C.BOX)).sum(axis=(1, 2))
+        n_blockers = ((types == C.BALL)
+                      & (colors == C.COLOR_TO_IDX["green"])).sum(axis=(1, 2))
+        n_targets = ((types == C.BALL)
+                     & (colors == C.COLOR_TO_IDX["blue"])).sum(axis=(1, 2))
+        assert (n_boxes == 2 * quarters).all(), env_id
+        assert (n_blockers == 2 * quarters).all(), env_id
+        assert (n_targets == 1).all(), env_id
+        # every box still contains its key
+        has_key = grids[..., 3] == C.KEY
+        assert ((types == C.BOX) <= has_key).all(), env_id
+
+
+def test_multiroom_goal_reachable():
+    for env_id in ["MiniGrid-MultiRoom-N2-S4-v0", "MiniGrid-MultiRoom-N6-v0"]:
+        _, _, states = batch_reset(env_id, n=32)
+        for b in range(32):
+            grid = states.grid[b]
+            doors = grid[..., 0] == C.DOOR
+            assert reachable(grid, states.agent_pos[b], goal_mask(grid),
+                             extra_passable=doors), f"{env_id} seed#{b}"
+            if env_id == "MiniGrid-MultiRoom-N6-v0":
+                assert doors.sum() == 5, "6 rooms need 5 connecting doors"
+
+
+def test_lockedroom_structure():
+    _, _, states = batch_reset("MiniGrid-LockedRoom-v0", n=32)
+    for b in range(32):
+        grid = states.grid[b]
+        types, colors, dstates = grid[..., 0], grid[..., 1], grid[..., 2]
+        locked = np.argwhere((types == C.DOOR) & (dstates == 2))
+        assert len(locked) == 1
+        assert (types == C.DOOR).sum() == 6
+        doors = grid[types == C.DOOR]
+        assert len(set(doors[:, 1])) == 6, "distinct door colors"
+        lx, ly = locked[0]
+        assert ((types == C.KEY) & (colors == colors[lx, ly])).any()
+        # goal inside the locked room: reachable only through doors
+        assert reachable(grid, states.agent_pos[b], goal_mask(grid),
+                         extra_passable=(types == C.DOOR) | (types == C.KEY))

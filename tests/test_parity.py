@@ -30,6 +30,19 @@ IMPLEMENTED_IDS = [
     "MiniGrid-GoToObject-8x8-N2-v0",
     "MiniGrid-PutNear-8x8-N3-v0",
     "MiniGrid-RedBlueDoors-8x8-v0",
+    "MiniGrid-KeyCorridorS3R1-v0",
+    "MiniGrid-KeyCorridorS6R3-v0",
+    "MiniGrid-Unlock-v0",
+    "MiniGrid-UnlockPickup-v0",
+    "MiniGrid-BlockedUnlockPickup-v0",
+    "MiniGrid-ObstructedMaze-1Dlhb-v0",
+    "MiniGrid-ObstructedMaze-2Dlhb-v0",
+    "MiniGrid-ObstructedMaze-Full-v0",
+    "MiniGrid-ObstructedMaze-Full-v1",
+    "MiniGrid-Playground-v0",
+    "MiniGrid-LockedRoom-v0",
+    "MiniGrid-MultiRoom-N4-S5-v1",
+    "MiniGrid-MultiRoom-N6-v0",
 ]
 
 
