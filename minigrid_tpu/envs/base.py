@@ -31,6 +31,17 @@ from minigrid_tpu.core.step import step_core
 from minigrid_tpu.core.types import MISSION_LEN, EnvParams, EnvState
 
 
+def autoreset_step(env, key, state, action):
+    """Generic auto-resetting step over any env-like (incl. wrappers)."""
+    k_step, k_reset = jax.random.split(key)
+    obs, st, reward, term, trunc, info = env.step(k_step, state, action)
+    done = term | trunc
+    obs_r, st_r = env.reset(k_reset)
+    st = jax.tree.map(lambda a, b: jnp.where(done, b, a), st, st_r)
+    obs = jax.tree.map(lambda a, b: jnp.where(done, b, a), obs, obs_r)
+    return obs, st, reward, term, trunc, info
+
+
 class MiniGridEnv:
     """Base functional env. Instances are static config only; all episode
     data lives in the :class:`EnvState` pytree."""
@@ -124,13 +135,7 @@ class MiniGridEnv:
         """Step with episode auto-reset (the batched-RL convention): when the
         episode ends, the returned state/obs come from a fresh ``reset``
         while reward/terminated/truncated report the finishing step."""
-        k_step, k_reset = jax.random.split(key)
-        obs, st, reward, term, trunc, info = self.step(k_step, state, action)
-        done = term | trunc
-        obs_r, st_r = self.reset(k_reset)
-        st = jax.tree.map(lambda a, b: jnp.where(done, b, a), st, st_r)
-        obs = jax.tree.map(lambda a, b: jnp.where(done, b, a), obs, obs_r)
-        return obs, st, reward, term, trunc, info
+        return autoreset_step(self, key, state, action)
 
     # -- convenience -----------------------------------------------------
     def vector(self, n: int):

@@ -1,0 +1,175 @@
+"""Wrapper parity vs the reference wrapper implementations (lockstep)."""
+
+import numpy as np
+import pytest
+
+from tests.ref_oracle import make_reference, state_from_reference
+
+import jax
+import jax.numpy as jnp
+
+import minigrid_tpu
+from minigrid_tpu import wrappers as W
+
+from tests.conftest import add_reference_to_path
+
+add_reference_to_path()
+import minigrid.wrappers as RW  # noqa: E402
+
+ACTIONS = [2, 1, 2, 2, 0, 2, 3, 2, 5, 2, 4, 2, 1, 2, 2]
+
+
+def lockstep(env_id, ref_wrap, tpu_wrap, n_steps=12, seed=3, compare=None,
+             actions=None):
+    """Run both wrapped envs from the same imported layout; compare obs."""
+    ref_base = make_reference(env_id)
+    ref = ref_wrap(ref_base)
+    ref_obs, _ = ref.reset(seed=seed)
+
+    env = minigrid_tpu.make(env_id)
+    wrapped = tpu_wrap(env)
+    state = state_from_reference(ref_base, env, jax.random.PRNGKey(0))
+    # re-wrap initial state if the wrapper is stateful
+    if hasattr(wrapped, "reset") and type(wrapped).reset is not W.Wrapper.reset \
+            and not isinstance(wrapped, W.ObservationWrapper):
+        _, wstate = wrapped.reset(jax.random.PRNGKey(0))
+        if isinstance(wstate, W.WrappedState):
+            state = wstate.replace(inner=state)
+    obs = None
+    if isinstance(wrapped, W.ObservationWrapper):
+        obs = wrapped.observation(
+            __import__("minigrid_tpu").core.obs.gen_obs(env.params, state), state)
+        compare(obs, ref_obs, -1)
+
+    step = jax.jit(wrapped.step)
+    key = jax.random.PRNGKey(7)
+    for t, a in enumerate((actions or ACTIONS)[:n_steps]):
+        ref_obs, ref_rew, ref_term, ref_trunc, _ = ref.step(a)
+        key, sub = jax.random.split(key)
+        obs, state, rew, te, tr, _ = step(sub, state, a)
+        compare(obs, ref_obs, t)
+        np.testing.assert_allclose(float(rew), float(ref_rew), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"t={t}")
+        assert bool(te) == bool(ref_term) and bool(tr) == bool(ref_trunc)
+        if ref_term or ref_trunc:
+            break
+
+
+def cmp_image(obs, ref_obs, t):
+    np.testing.assert_array_equal(np.asarray(obs["image"]), ref_obs["image"],
+                                  err_msg=f"t={t}")
+
+
+def test_img_obs():
+    lockstep("MiniGrid-DoorKey-8x8-v0", RW.ImgObsWrapper, W.ImgObsWrapper,
+             compare=lambda o, r, t: np.testing.assert_array_equal(
+                 np.asarray(o), r, err_msg=f"t={t}"))
+
+
+def test_one_hot():
+    lockstep("MiniGrid-DoorKey-8x8-v0", RW.OneHotPartialObsWrapper,
+             W.OneHotPartialObsWrapper, compare=cmp_image)
+
+
+def test_fully_obs():
+    lockstep("MiniGrid-DoorKey-8x8-v0", RW.FullyObsWrapper, W.FullyObsWrapper,
+             compare=cmp_image)
+
+
+def test_rgb_full():
+    lockstep("MiniGrid-LavaGapS7-v0", RW.RGBImgObsWrapper, W.RGBImgObsWrapper,
+             n_steps=4, compare=cmp_image)
+
+
+def test_rgb_partial():
+    lockstep("MiniGrid-LavaGapS7-v0", RW.RGBImgPartialObsWrapper,
+             W.RGBImgPartialObsWrapper, n_steps=4, compare=cmp_image)
+
+
+def test_view_size():
+    for v in [3, 5, 9]:
+        lockstep("MiniGrid-DoorKey-8x8-v0",
+                 lambda e, v=v: RW.ViewSizeWrapper(e, agent_view_size=v),
+                 lambda e, v=v: W.ViewSizeWrapper(e, agent_view_size=v),
+                 n_steps=6, compare=cmp_image)
+
+
+def test_dict_observation_space():
+    def cmp(obs, ref_obs, t):
+        ids = list(np.asarray(obs["mission"]))
+        assert ids == ref_obs["mission"], f"t={t}"
+
+    lockstep("MiniGrid-LavaCrossingS9N1-v0", RW.DictObservationSpaceWrapper,
+             W.DictObservationSpaceWrapper, n_steps=3, compare=cmp)
+
+
+def test_flat_obs():
+    def cmp(obs, ref_obs, t):
+        np.testing.assert_array_equal(np.asarray(obs), ref_obs, f"t={t}")
+
+    lockstep("MiniGrid-LavaCrossingS9N1-v0", RW.FlatObsWrapper,
+             W.FlatObsWrapper, n_steps=3, compare=cmp)
+
+
+def test_symbolic():
+    def cmp(obs, ref_obs, t):
+        np.testing.assert_array_equal(np.asarray(obs["image"]),
+                                      ref_obs["image"], f"t={t}")
+
+    lockstep("MiniGrid-DoorKey-8x8-v0", RW.SymbolicObsWrapper,
+             W.SymbolicObsWrapper, compare=cmp)
+
+
+def test_direction_obs():
+    def cmp(obs, ref_obs, t):
+        np.testing.assert_allclose(
+            float(obs["goal_direction"]), float(ref_obs["goal_direction"]),
+            rtol=1e-6, err_msg=f"t={t}")
+
+    lockstep("MiniGrid-Empty-8x8-v0", RW.DirectionObsWrapper,
+             W.DirectionObsWrapper, n_steps=6, compare=cmp)
+
+
+@pytest.mark.parametrize("ref_cls,tpu_cls", [
+    (RW.ActionBonus, W.ActionBonus),
+    (RW.PositionBonus, W.PositionBonus),
+])
+def test_bonus_rewards(ref_cls, tpu_cls):
+    lockstep("MiniGrid-Empty-5x5-v0", ref_cls, tpu_cls, n_steps=15,
+             compare=cmp_image)
+
+
+def test_no_death():
+    # walk straight into the first lava river; NoDeath converts the death
+    lockstep(
+        "MiniGrid-DistShift1-v0",
+        lambda e: RW.NoDeath(e, no_death_types=("lava",), death_cost=-1.0),
+        lambda e: W.NoDeath(e, no_death_types=("lava",), death_cost=-1.0),
+        n_steps=8, compare=cmp_image,
+        actions=[2, 2, 2, 2, 2, 2, 1, 2],
+    )
+
+
+def test_reseed_cycles():
+    env = minigrid_tpu.make("MiniGrid-Empty-Random-5x5-v0")
+    w = W.ReseedWrapper(env, seeds=[0, 1], seed_idx=0)
+    obs0, st0 = w.reset(jax.random.PRNGKey(9))
+    obs1, st1 = w.reset(w.seed_keys[st0.wrapper - 1])  # same underlying API
+    # cycling: two resets from idx 0 and idx 1 give different layouts,
+    # third wraps back to the first
+    obs_a, st = w.reset(jax.random.PRNGKey(0))
+    obs_b, st = w.reset(jax.random.PRNGKey(0), _idx=st.wrapper)
+    obs_c, st = w.reset(jax.random.PRNGKey(0), _idx=st.wrapper)
+    assert np.array_equal(np.asarray(obs_a["image"]), np.asarray(obs_c["image"]))
+
+
+def test_stochastic_action_smoke():
+    env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+    w = W.StochasticActionWrapper(env, prob=0.5)
+    obs, state = w.reset(jax.random.PRNGKey(0))
+    step = jax.jit(w.step)
+    dirs = set()
+    for i in range(20):
+        obs, state, *_ = step(jax.random.PRNGKey(i), state, 6)  # 'done' no-op
+        dirs.add(int(state.agent_dir))
+    assert len(dirs) > 1, "replacement actions never fired"
