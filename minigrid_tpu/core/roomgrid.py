@@ -305,9 +305,13 @@ def reachable_rooms(b: Builder, layout: RoomLayout) -> jax.Array:
 
 
 def connect_all(b: Builder, layout: RoomLayout, key, door_color_ids=None,
-                max_itrs: int = 5000) -> Builder:
+                max_itrs: int = 5000, exclude_color=None) -> Builder:
     """Add random unlocked doors until every room is reachable
-    (roomgrid.py:336-394), as a bounded while_loop."""
+    (roomgrid.py:336-394), as a bounded while_loop.
+
+    ``exclude_color`` (traced color id, or -1 for none) removes one color
+    from the palette — the BabyAI Unlock level's door_colors filter
+    (envs/babyai/unlock.py:63-66)."""
     R, Cc = layout.num_rows, layout.num_cols
     if door_color_ids is None:
         door_color_ids = [C.COLOR_TO_IDX[n] for n in C.COLOR_NAMES]
@@ -331,7 +335,17 @@ def connect_all(b: Builder, layout: RoomLayout, key, door_color_ids=None,
         nj_c = jnp.clip(nj, 0, R - 1)
         ok &= ~b.locked[j, i] & ~b.locked[nj_c, ni_c]
 
-        color = colors[jax.random.randint(k_c, (), 0, len(door_color_ids))]
+        n_colors = len(door_color_ids)
+        if exclude_color is None:
+            color = colors[jax.random.randint(k_c, (), 0, n_colors)]
+        else:
+            excl = jnp.asarray(exclude_color, jnp.int32)
+            has_excl = (colors.astype(jnp.int32) == excl).any()
+            excl_pos = jnp.argmax(colors.astype(jnp.int32) == excl)
+            j_full = jax.random.randint(k_c, (), 0, n_colors)
+            j_less = jax.random.randint(k_c, (), 0, n_colors - 1)
+            j_less = j_less + (j_less >= excl_pos)
+            color = colors[jnp.where(has_excl, j_less, j_full)]
         is_r, ii_r, jj_d, pos = _door_slot(b, i, j, k)
         cell = pack_cell(C.DOOR, color, C.CLOSED)
         grid = b.grid.at[pos[0], pos[1]].set(

@@ -21,7 +21,7 @@ from minigrid_tpu.core import constants as C
 
 # Fixed token length for tokenized mission strings (longest BabyAI mission in
 # the registry fits; host-side realization is in core/mission.py).
-MISSION_LEN = 64
+MISSION_LEN = 96
 
 
 @struct.dataclass

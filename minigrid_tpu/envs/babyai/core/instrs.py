@@ -1,0 +1,442 @@
+"""BabyAI instruction language: array encoding, verifier kernel, surface.
+
+Re-design of the reference instruction AST + verifier
+(``minigrid/envs/babyai/core/verifier.py:16-568``). The reference tracks
+object *identity* through Python references (``carrying is obj``,
+``front_cell is door``); identity here reduces to position-history tracking:
+objects only move through the agent's hands, one at a time, so each
+descriptor carries a boolean position mask of its tracked objects plus one
+"currently carried object is tracked" bit — updated on pickup/drop/box-toggle
+transitions. That reproduces the reference's ``find_matching_objs(
+use_location=False)`` identity semantics exactly, including the quirk that
+``obj_poss`` (used by GoTo) refreshes only on drop actions
+(roomgrid_level.py:91-93).
+
+An instruction is a fixed-capacity tree: root combinator over two parts,
+each part a single action or an ``and`` of two, giving 4 leaf slots — the
+exact grammar produced by LevelGen (levelgen.py:158-211). All structure
+fields are traced data, so one compiled verifier serves every instruction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.actions import Actions
+from minigrid_tpu.core.mission import WORD_TO_ID
+from minigrid_tpu.core.types import MISSION_LEN
+
+# Vocabulary index spaces (verifier.py:16-22)
+OBJ_TYPES = ["box", "ball", "key", "door"]       # descriptor type order
+TYPE_IDS = jnp.asarray([C.BOX, C.BALL, C.KEY, C.DOOR], jnp.int32)
+TYPE_NONE = 4
+COLOR_NONE = 6
+LOC_NAMES = ["left", "right", "front", "behind"]
+LOC_NONE = 4
+
+# leaf kinds
+OPEN, GOTO, PICKUP, PUTNEXT, UNUSED = 0, 1, 2, 3, 4
+# root kinds
+ROOT_ACTION, ROOT_AND, ROOT_BEFORE, ROOT_AFTER = 0, 1, 2, 3
+
+CONTINUE, SUCCESS, FAILURE = 0, 1, 2
+
+
+@struct.dataclass
+class Descs:
+    """8 descriptor slots (leaf i uses slots 2i = move/primary, 2i+1 =
+    fixed). All leading dims are 8."""
+
+    type: jax.Array     # (8,) int32 in [0..4]
+    color: jax.Array    # (8,) int32 in [0..6]
+    loc: jax.Array      # (8,) int32 in [0..4]
+    count: jax.Array    # (8,) int32 |obj_set| at reset
+    mask_objs: jax.Array  # (8, W, H) bool — tracked objects now on grid
+    mask_poss: jax.Array  # (8, W, H) bool — stale obj_poss (drop-refreshed)
+    carried: jax.Array  # (8,) bool — carried object is tracked
+
+
+@struct.dataclass
+class InstrState:
+    root_kind: jax.Array   # () int32
+    a_is_and: jax.Array    # () bool
+    b_is_and: jax.Array    # () bool
+    kinds: jax.Array       # (4,) int32 leaf kinds
+    strict: jax.Array      # (4,) bool
+    descs: Descs
+    # dynamic verifier memory
+    pre_empty: jax.Array         # (4,) bool — carrying empty at last invoke
+    pre_move_carried: jax.Array  # (4,) bool — carried∈move-set at last invoke
+    last_match: jax.Array        # (4,) bool — done-actions mode memo
+    leaf_done: jax.Array         # (4,) bool
+    a_done: jax.Array            # () bool
+    b_done: jax.Array            # () bool
+
+
+def empty_descs(width: int, height: int) -> Descs:
+    z8 = jnp.zeros(8, jnp.int32)
+    return Descs(
+        type=z8 + TYPE_NONE,
+        color=z8 + COLOR_NONE,
+        loc=z8 + LOC_NONE,
+        count=z8,
+        mask_objs=jnp.zeros((8, width, height), bool),
+        mask_poss=jnp.zeros((8, width, height), bool),
+        carried=jnp.zeros(8, bool),
+    )
+
+
+def empty_instr(width: int, height: int) -> InstrState:
+    return InstrState(
+        root_kind=jnp.zeros((), jnp.int32),
+        a_is_and=jnp.zeros((), bool),
+        b_is_and=jnp.zeros((), bool),
+        kinds=jnp.full((4,), UNUSED, jnp.int32),
+        strict=jnp.zeros(4, bool),
+        descs=empty_descs(width, height),
+        pre_empty=jnp.zeros(4, bool),
+        pre_move_carried=jnp.zeros(4, bool),
+        last_match=jnp.zeros(4, bool),
+        leaf_done=jnp.zeros(4, bool),
+        a_done=jnp.zeros((), bool),
+        b_done=jnp.zeros((), bool),
+    )
+
+
+def match_mask(grid, agent_pos, agent_dir, room_rect, dtype, color, loc):
+    """find_matching_objs at reset (verifier.py:105-171): which cells match
+    a (type, color, loc) descriptor. ``room_rect`` is the agent's starting
+    room (location words only apply there)."""
+    cellt = grid[..., 0].astype(jnp.int32)
+    cellc = grid[..., 1].astype(jnp.int32)
+    nonempty = cellt != C.EMPTY
+    type_ok = jnp.where(dtype == TYPE_NONE, True, cellt == TYPE_IDS[jnp.clip(dtype, 0, 3)])
+    color_ok = jnp.where(color == COLOR_NONE, True, cellc == color)
+
+    W, H = cellt.shape
+    xs = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
+    vx = xs - agent_pos[0]
+    vy = ys - agent_pos[1]
+    d1 = jnp.asarray(C.DIR_TO_VEC)[agent_dir]
+    d2x, d2y = -d1[1], d1[0]
+    dot1 = vx * d1[0] + vy * d1[1]
+    dot2 = vx * d2x + vy * d2y
+    loc_cond = jnp.select(
+        [loc == 0, loc == 1, loc == 2, loc == 3],
+        [dot2 < 0, dot2 > 0, dot1 > 0, dot1 < 0],
+        default=jnp.ones((W, H), bool),
+    )
+    loc_ok = jnp.where(loc == LOC_NONE, True, room_rect & loc_cond)
+    return nonempty & type_ok & color_ok & loc_ok
+
+
+def init_desc_slot(descs: Descs, slot, grid, agent_pos, agent_dir, room_rect,
+                   dtype, color, loc) -> Descs:
+    mask = match_mask(grid, agent_pos, agent_dir, room_rect, dtype, color, loc)
+    return descs.replace(
+        type=descs.type.at[slot].set(jnp.asarray(dtype, jnp.int32)),
+        color=descs.color.at[slot].set(jnp.asarray(color, jnp.int32)),
+        loc=descs.loc.at[slot].set(jnp.asarray(loc, jnp.int32)),
+        count=descs.count.at[slot].set(mask.sum().astype(jnp.int32)),
+        mask_objs=descs.mask_objs.at[slot].set(mask),
+        mask_poss=descs.mask_poss.at[slot].set(mask),
+        carried=descs.carried.at[slot].set(False),
+    )
+
+
+def _front_pos(params, state):
+    fwd = state.agent_pos + jnp.asarray(C.DIR_TO_VEC)[state.agent_dir]
+    return (jnp.clip(fwd[0], 0, params.width - 1),
+            jnp.clip(fwd[1], 0, params.height - 1))
+
+
+def update_tracking(params, descs: Descs, prev, new, action) -> Descs:
+    """Identity/position tracking across one env transition."""
+    action = jnp.asarray(action, jnp.int32)
+    fx, fy = _front_pos(params, prev)
+    was_empty = prev.carrying[0] == C.EMPTY
+    now_empty = new.carrying[0] == C.EMPTY
+    picked = (action == Actions.pickup) & was_empty & ~now_empty
+    dropped = (action == Actions.drop) & ~was_empty & now_empty
+    box_gone = (action == Actions.toggle) & (prev.grid[fx, fy, 0] == C.BOX)
+
+    at_front = descs.mask_objs[:, fx, fy]          # (8,)
+    take = picked & at_front
+    lose_box = box_gone & at_front
+    gain = dropped & descs.carried
+
+    mask_objs = descs.mask_objs.at[:, fx, fy].set(
+        (at_front & ~take & ~lose_box) | gain
+    )
+    carried = jnp.where(take, True, jnp.where(gain, False, descs.carried))
+    # obj_poss refresh happens on every drop action (roomgrid_level.py:91-93)
+    mask_poss = jnp.where(action == Actions.drop, mask_objs, descs.mask_poss)
+    return descs.replace(mask_objs=mask_objs, mask_poss=mask_poss,
+                         carried=carried)
+
+
+def _leaf_verify(params, instr: InstrState, i: int, gate, prev, new, action,
+                 use_done_actions: bool):
+    """Result + memory updates for leaf slot i, applied only when gated."""
+    action = jnp.asarray(action, jnp.int32)
+    kind = instr.kinds[i]
+    strict = instr.strict[i]
+    d = instr.descs
+    mi, fi = 2 * i, 2 * i + 1
+    fx, fy = _front_pos(params, new)
+    front = new.grid[fx, fy]
+    now_carrying = new.carrying[0] != C.EMPTY
+
+    # --- open (verifier.py:254-288) ---
+    front_is_door = front[0] == C.DOOR
+    open_success = (
+        (action == Actions.toggle)
+        & d.mask_objs[mi, fx, fy] & front_is_door & (front[2] == C.OPEN)
+    )
+    open_fail = (
+        (action == Actions.toggle) & strict & front_is_door & ~open_success
+    )
+
+    # --- goto (verifier.py:290-317): stale obj_poss ---
+    goto_success = d.mask_poss[mi, fx, fy]
+
+    # --- pickup (verifier.py:319-362) ---
+    pk = action == Actions.pickup
+    pickup_success = pk & instr.pre_empty[i] & d.carried[mi] & now_carrying
+    pickup_fail = pk & strict & now_carrying & ~pickup_success
+
+    # --- putnext (verifier.py:365-433) ---
+    was_empty = prev.carrying[0] == C.EMPTY
+    drop_ok = (action == Actions.drop) & ~was_empty & (new.carrying[0] == C.EMPTY)
+    fixed = d.mask_poss[fi]
+    W, H = fixed.shape
+    adjacent = jnp.zeros((), bool)
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        nx = jnp.clip(fx + dx, 0, W - 1)
+        ny = jnp.clip(fy + dy, 0, H - 1)
+        inb = (fx + dx >= 0) & (fx + dx < W) & (fy + dy >= 0) & (fy + dy < H)
+        adjacent |= inb & fixed[nx, ny]
+    put_success = drop_ok & instr.pre_move_carried[i] & adjacent
+    put_fail = pk & strict & now_carrying
+
+    success = jnp.select(
+        [kind == OPEN, kind == GOTO, kind == PICKUP, kind == PUTNEXT],
+        [open_success, goto_success, pickup_success, put_success],
+        default=jnp.zeros((), bool),
+    )
+    fail = jnp.select(
+        [kind == OPEN, kind == GOTO, kind == PICKUP, kind == PUTNEXT],
+        [open_fail, jnp.zeros((), bool), pickup_fail, put_fail & ~put_success],
+        default=jnp.zeros((), bool),
+    )
+
+    if use_done_actions:
+        # verify() in done-actions mode (verifier.py:228-242): 'done' reports
+        # the memo; other actions return None (-> continue) while updating it
+        is_done_a = action == Actions.done
+        reported_success = is_done_a & instr.last_match[i]
+        reported_fail = is_done_a & ~instr.last_match[i]
+        new_last = jnp.where(gate & ~is_done_a, success, instr.last_match[i])
+        instr = instr.replace(last_match=instr.last_match.at[i].set(new_last))
+        success, fail = reported_success, reported_fail
+
+    success &= gate
+    fail &= gate
+
+    # memory updates happen whenever invoked (verify_action entry)
+    verify_runs = gate if not use_done_actions else (gate & (action != Actions.done))
+    upd_pre = verify_runs & ((kind == PICKUP) | (kind == PUTNEXT))
+    instr = instr.replace(
+        pre_empty=instr.pre_empty.at[i].set(
+            jnp.where(upd_pre, ~now_carrying, instr.pre_empty[i])),
+        pre_move_carried=instr.pre_move_carried.at[i].set(
+            jnp.where(upd_pre, d.carried[mi], instr.pre_move_carried[i])),
+        leaf_done=instr.leaf_done.at[i].set(instr.leaf_done[i] | success),
+    )
+    return instr, success, fail
+
+
+def verify(params, instr: InstrState, prev, new, action,
+           use_done_actions: bool = False):
+    """One verifier step. Returns (status in {CONTINUE, SUCCESS, FAILURE},
+    new InstrState). Call after the env transition (roomgrid_level.py:87-104).
+    """
+    descs = update_tracking(params, instr.descs, prev, new, action)
+    instr = instr.replace(descs=descs)
+
+    rk = instr.root_kind
+    is_before = rk == ROOT_BEFORE
+    is_after = rk == ROOT_AFTER
+
+    # ---- phase 1: the part that runs first ----
+    # before/and/action: A part first; after: B part first
+    gA1 = (
+        jnp.where(rk == ROOT_ACTION, ~instr.leaf_done[0],
+        jnp.where(rk == ROOT_AND, ~instr.leaf_done[0],
+        jnp.where(is_before, ~instr.a_done & ~instr.leaf_done[0], False)))
+    )
+    gA2 = jnp.where(rk == ROOT_AND, ~instr.leaf_done[1],
+          jnp.where(is_before, ~instr.a_done & instr.a_is_and
+                    & ~instr.leaf_done[1], False))
+    gB1_p1 = is_after & ~instr.b_done & ~instr.leaf_done[2]
+    gB2_p1 = is_after & ~instr.b_done & instr.b_is_and & ~instr.leaf_done[3]
+
+    fails = jnp.zeros((), bool)
+    instr, s0, f0 = _leaf_verify(params, instr, 0, gA1, prev, new, action,
+                                 use_done_actions)
+    instr, s1, f1 = _leaf_verify(params, instr, 1, gA2, prev, new, action,
+                                 use_done_actions)
+    instr, s2a, f2a = _leaf_verify(params, instr, 2, gB1_p1, prev, new, action,
+                                   use_done_actions)
+    instr, s3a, f3a = _leaf_verify(params, instr, 3, gB2_p1, prev, new, action,
+                                   use_done_actions)
+    fails |= f0 | f1 | f2a | f3a
+
+    a_part_done = instr.leaf_done[0] & (~instr.a_is_and | instr.leaf_done[1])
+    b_part_done = instr.leaf_done[2] & (~instr.b_is_and | instr.leaf_done[3])
+    a_done = instr.a_done | a_part_done
+    b_done = instr.b_done | b_part_done
+
+    # ---- phase 2: the other part, gated on phase-1 completion ----
+    gB1 = is_before & a_done & ~instr.leaf_done[2]
+    gB2 = is_before & a_done & instr.b_is_and & ~instr.leaf_done[3]
+    gA1_p2 = is_after & b_done & ~instr.leaf_done[0]
+    gA2_p2 = is_after & b_done & instr.a_is_and & ~instr.leaf_done[1]
+
+    instr, s2, f2 = _leaf_verify(params, instr, 2, gB1, prev, new, action,
+                                 use_done_actions)
+    instr, s3, f3 = _leaf_verify(params, instr, 3, gB2, prev, new, action,
+                                 use_done_actions)
+    instr, s0b, f0b = _leaf_verify(params, instr, 0, gA1_p2, prev, new, action,
+                                   use_done_actions)
+    instr, s1b, f1b = _leaf_verify(params, instr, 1, gA2_p2, prev, new, action,
+                                   use_done_actions)
+    fails |= f2 | f3 | f0b | f1b
+
+    a_part_done = instr.leaf_done[0] & (~instr.a_is_and | instr.leaf_done[1])
+    b_part_done = instr.leaf_done[2] & (~instr.b_is_and | instr.leaf_done[3])
+    a_done = instr.a_done | a_part_done
+    b_done = instr.b_done | b_part_done
+    instr = instr.replace(a_done=a_done, b_done=b_done)
+
+    success = jnp.select(
+        [rk == ROOT_ACTION, rk == ROOT_AND, is_before, is_after],
+        [instr.leaf_done[0],
+         instr.leaf_done[0] & instr.leaf_done[1],
+         a_done & b_done,
+         a_done & b_done],
+        default=jnp.zeros((), bool),
+    )
+    # AndInstr swallows child failures outside done-actions mode
+    # (verifier.py:533-568); action/seq roots propagate them
+    fail_counts = jnp.where(rk == ROOT_AND, jnp.asarray(use_done_actions), True)
+    status = jnp.where(success, SUCCESS,
+                       jnp.where(fails & fail_counts, FAILURE, CONTINUE))
+    return status.astype(jnp.int32), instr
+
+
+def num_navs_needed(instr: InstrState):
+    """Dynamic step-budget factor (roomgrid_level.py:216-236)."""
+    per_leaf = jnp.where(
+        instr.kinds == PUTNEXT, 2, jnp.where(instr.kinds == UNUSED, 0, 1)
+    )
+    active = jnp.select(
+        [instr.root_kind == ROOT_ACTION, instr.root_kind == ROOT_AND],
+        [jnp.asarray([1, 0, 0, 0]), jnp.asarray([1, 1, 0, 0])],
+        default=jnp.stack([
+            jnp.ones((), jnp.int32), instr.a_is_and.astype(jnp.int32),
+            jnp.ones((), jnp.int32), instr.b_is_and.astype(jnp.int32),
+        ]),
+    )
+    return (per_leaf * active).sum()
+
+
+# ---------------------------------------------------------------------------
+# Surface realization as mission tokens (verifier.py surface methods)
+# ---------------------------------------------------------------------------
+
+_W = WORD_TO_ID
+TYPE_WORDS = jnp.asarray([_W["box"], _W["ball"], _W["key"], _W["door"],
+                          _W["object"]], jnp.int32)
+COLOR_WORDS = jnp.asarray(
+    [_W[C.IDX_TO_COLOR[i]] for i in range(6)] + [0], jnp.int32)
+LOC_SEGMENTS = jnp.asarray([
+    [_W["on"], _W["your"], _W["left"], 0],
+    [_W["on"], _W["your"], _W["right"], 0],
+    [_W["in"], _W["front"], _W["of"], _W["you"]],
+    [_W["behind"], _W["you"], 0, 0],
+    [0, 0, 0, 0],
+], jnp.int32)
+
+
+def _desc_tokens(d: Descs, slot):
+    """(7,) tokens + valid for one descriptor (verifier.py:73-103)."""
+    article = jnp.where(d.count[slot] > 1, _W["a"], _W["the"])
+    color_tok = COLOR_WORDS[d.color[slot]]
+    type_tok = TYPE_WORDS[d.type[slot]]
+    loc_seg = LOC_SEGMENTS[d.loc[slot]]
+    toks = jnp.concatenate([
+        jnp.stack([article, color_tok, type_tok]), loc_seg])
+    valid = toks != 0
+    return toks, valid
+
+
+def _leaf_tokens(instr: InstrState, i: int):
+    """(18,) tokens + valid for one leaf."""
+    kind = instr.kinds[i]
+    verb = jnp.select(
+        [kind == OPEN, kind == GOTO, kind == PICKUP, kind == PUTNEXT],
+        [jnp.asarray([_W["open"], 0]), jnp.asarray([_W["go"], _W["to"]]),
+         jnp.asarray([_W["pick"], _W["up"]]), jnp.asarray([_W["put"], 0])],
+        default=jnp.zeros(2, jnp.int32),
+    )
+    mt, mv = _desc_tokens(instr.descs, 2 * i)
+    ft, fv = _desc_tokens(instr.descs, 2 * i + 1)
+    is_put = kind == PUTNEXT
+    mid = jnp.where(is_put, jnp.asarray([_W["next"], _W["to"]]),
+                    jnp.zeros(2, jnp.int32))
+    toks = jnp.concatenate([verb, mt, mid, jnp.where(is_put, ft, 0)])
+    valid = jnp.concatenate([verb != 0, mv, mid != 0, fv & is_put])
+    used = kind != UNUSED
+    return toks, valid & used
+
+
+def surface_tokens(instr: InstrState) -> jax.Array:
+    """(MISSION_LEN,) int32 mission ids for the instruction tree."""
+    rk = instr.root_kind
+    t0, v0 = _leaf_tokens(instr, 0)
+    t1, v1 = _leaf_tokens(instr, 1)
+    t2, v2 = _leaf_tokens(instr, 2)
+    t3, v3 = _leaf_tokens(instr, 3)
+
+    and_a = jnp.asarray([_W["and"]])
+    use_a2 = (rk == ROOT_AND) | (((rk == ROOT_BEFORE) | (rk == ROOT_AFTER))
+                                 & instr.a_is_and)
+    use_b = (rk == ROOT_BEFORE) | (rk == ROOT_AFTER)
+    use_b2 = use_b & instr.b_is_and
+
+    conn_seq = jnp.where(
+        rk == ROOT_BEFORE,
+        jnp.asarray([_W[","], _W["then"]]),
+        jnp.asarray([_W["after"], _W["you"]]),
+    )
+
+    toks = jnp.concatenate([
+        t0, and_a, t1, conn_seq, t2, and_a, t3])
+    valid = jnp.concatenate([
+        v0,
+        jnp.asarray([use_a2]), v1 & use_a2,
+        jnp.asarray([use_b, use_b]), v2 & use_b,
+        jnp.asarray([use_b2]), v3 & use_b2,
+    ])
+
+    # compact valid tokens into the padded mission vector; invalid slots
+    # scatter out of bounds and are dropped
+    pos = jnp.cumsum(valid) - 1
+    out = jnp.zeros(MISSION_LEN, jnp.int32)
+    out = out.at[jnp.where(valid, pos, MISSION_LEN)].set(toks, mode="drop")
+    return out

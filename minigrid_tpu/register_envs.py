@@ -32,6 +32,20 @@ def register_all() -> None:
     from minigrid_tpu.envs.putnear import PutNearEnv
     from minigrid_tpu.envs.redbluedoors import RedBlueDoorEnv
 
+    # DoorKey (reference minigrid/__init__.py:93-115)
+    register("MiniGrid-DoorKey-5x5-v0", DoorKeyEnv, size=5)
+    register("MiniGrid-DoorKey-6x6-v0", DoorKeyEnv, size=6)
+    register("MiniGrid-DoorKey-8x8-v0", DoorKeyEnv, size=8)
+    register("MiniGrid-DoorKey-16x16-v0", DoorKeyEnv, size=16)
+
+    # Empty (reference minigrid/__init__.py:117-160)
+    register("MiniGrid-Empty-5x5-v0", EmptyEnv, size=5)
+    register("MiniGrid-Empty-Random-5x5-v0", EmptyEnv, size=5, agent_start_pos=None)
+    register("MiniGrid-Empty-6x6-v0", EmptyEnv, size=6)
+    register("MiniGrid-Empty-Random-6x6-v0", EmptyEnv, size=6, agent_start_pos=None)
+    register("MiniGrid-Empty-8x8-v0", EmptyEnv)
+    register("MiniGrid-Empty-16x16-v0", EmptyEnv, size=16)
+
     # Crossing (reference minigrid/__init__.py:24-73)
     register("MiniGrid-LavaCrossingS9N1-v0", CrossingEnv, size=9, num_crossings=1)
     register("MiniGrid-LavaCrossingS9N2-v0", CrossingEnv, size=9, num_crossings=2)
@@ -180,16 +194,117 @@ def register_all() -> None:
     register("MiniGrid-RedBlueDoors-6x6-v0", RedBlueDoorEnv, size=6)
     register("MiniGrid-RedBlueDoors-8x8-v0", RedBlueDoorEnv)
 
-    # DoorKey (reference minigrid/__init__.py:93-115)
-    register("MiniGrid-DoorKey-5x5-v0", DoorKeyEnv, size=5)
-    register("MiniGrid-DoorKey-6x6-v0", DoorKeyEnv, size=6)
-    register("MiniGrid-DoorKey-8x8-v0", DoorKeyEnv, size=8)
-    register("MiniGrid-DoorKey-16x16-v0", DoorKeyEnv, size=16)
+    _register_babyai()
 
-    # Empty (reference minigrid/__init__.py:117-160)
-    register("MiniGrid-Empty-5x5-v0", EmptyEnv, size=5)
-    register("MiniGrid-Empty-Random-5x5-v0", EmptyEnv, size=5, agent_start_pos=None)
-    register("MiniGrid-Empty-6x6-v0", EmptyEnv, size=6)
-    register("MiniGrid-Empty-Random-6x6-v0", EmptyEnv, size=6, agent_start_pos=None)
-    register("MiniGrid-Empty-8x8-v0", EmptyEnv)
-    register("MiniGrid-Empty-16x16-v0", EmptyEnv, size=16)
+
+def _register_babyai() -> None:
+    """BabyAI language levels (reference minigrid/__init__.py:569-1131)."""
+    from minigrid_tpu.envs.babyai import levels as B
+
+    # GoTo family (:570-686)
+    register("BabyAI-GoToRedBallGrey-v0", B.GoToRedBallGrey)
+    register("BabyAI-GoToRedBall-v0", B.GoToRedBall)
+    register("BabyAI-GoToRedBallNoDists-v0", B.GoToRedBallNoDists)
+    register("BabyAI-GoToObj-v0", B.GoToObj)
+    register("BabyAI-GoToObjS4-v0", B.GoToObj, room_size=4)
+    register("BabyAI-GoToObjS6-v1", B.GoToObj, room_size=6)
+    register("BabyAI-GoToLocal-v0", B.GoToLocal)
+    for s, n in [(5, 2), (6, 2), (6, 3), (6, 4), (7, 4), (7, 5),
+                 (8, 2), (8, 3), (8, 4), (8, 5), (8, 6), (8, 7)]:
+        register(f"BabyAI-GoToLocalS{s}N{n}-v0", B.GoToLocal, room_size=s,
+                 num_dists=n)
+    register("BabyAI-GoTo-v0", B.GoTo)
+    register("BabyAI-GoToOpen-v0", B.GoTo, doors_open=True)
+    register("BabyAI-GoToObjMaze-v0", B.GoTo, num_dists=1, doors_open=False)
+    register("BabyAI-GoToObjMazeOpen-v0", B.GoTo, num_dists=1, doors_open=True)
+    register("BabyAI-GoToObjMazeS4R2-v0", B.GoTo, num_dists=1, room_size=4,
+             num_rows=2, num_cols=2)
+    register("BabyAI-GoToObjMazeS4-v0", B.GoTo, num_dists=1, room_size=4)
+    register("BabyAI-GoToObjMazeS5-v0", B.GoTo, num_dists=1, room_size=5)
+    register("BabyAI-GoToObjMazeS6-v0", B.GoTo, num_dists=1, room_size=6)
+    register("BabyAI-GoToObjMazeS7-v0", B.GoTo, num_dists=1, room_size=7)
+    register("BabyAI-GoToImpUnlock-v0", B.GoToImpUnlock)
+    register("BabyAI-GoToSeq-v0", B.GoToSeq)
+    register("BabyAI-GoToSeqS5R2-v0", B.GoToSeq, room_size=5, num_rows=2,
+             num_cols=2, num_dists=4)
+    register("BabyAI-GoToRedBlueBall-v0", B.GoToRedBlueBall)
+    register("BabyAI-GoToDoor-v0", B.GoToDoorLevel)
+    register("BabyAI-GoToObjDoor-v0", B.GoToObjDoor)
+
+    # Open family (:688-830)
+    register("BabyAI-Open-v0", B.Open)
+    register("BabyAI-OpenRedDoor-v0", B.OpenRedDoor)
+    register("BabyAI-OpenDoor-v0", B.OpenDoor)
+    register("BabyAI-OpenDoorDebug-v0", B.OpenDoor, debug=True, select_by=None)
+    register("BabyAI-OpenDoorColor-v0", B.OpenDoor, select_by="color")
+    register("BabyAI-OpenDoorLoc-v0", B.OpenDoor, select_by="loc")
+    register("BabyAI-OpenTwoDoors-v0", B.OpenTwoDoors)
+    register("BabyAI-OpenRedBlueDoors-v0", B.OpenTwoDoors, first_color="red",
+             second_color="blue")
+    register("BabyAI-OpenRedBlueDoorsDebug-v0", B.OpenTwoDoors,
+             first_color="red", second_color="blue", strict=True)
+    register("BabyAI-OpenDoorsOrderN2-v0", B.OpenDoorsOrder, num_doors=2)
+    register("BabyAI-OpenDoorsOrderN4-v0", B.OpenDoorsOrder, num_doors=4)
+    register("BabyAI-OpenDoorsOrderN2Debug-v0", B.OpenDoorsOrder, debug=True,
+             num_doors=2)
+    register("BabyAI-OpenDoorsOrderN4Debug-v0", B.OpenDoorsOrder, debug=True,
+             num_doors=4)
+
+    # Pickup family (:832-886)
+    register("BabyAI-Pickup-v0", B.Pickup)
+    register("BabyAI-UnblockPickup-v0", B.UnblockPickup)
+    register("BabyAI-PickupLoc-v0", B.PickupLoc)
+    register("BabyAI-PickupDist-v0", B.PickupDist)
+    register("BabyAI-PickupDistDebug-v0", B.PickupDist, debug=True)
+    register("BabyAI-PickupAbove-v0", B.PickupAbove)
+
+    # PutNext family (:888-961)
+    register("BabyAI-PutNextLocal-v0", B.PutNextLocal)
+    register("BabyAI-PutNextLocalS5N3-v0", B.PutNextLocal, room_size=5,
+             num_objs=3)
+    register("BabyAI-PutNextLocalS6N4-v0", B.PutNextLocal, room_size=6,
+             num_objs=4)
+    for s, n in [(4, 1), (5, 2), (5, 1), (6, 3), (7, 4)]:
+        register(f"BabyAI-PutNextS{s}N{n}-v0", B.PutNext, room_size=s,
+                 objs_per_room=n)
+    for s, n in [(5, 2), (6, 3), (7, 4)]:
+        register(f"BabyAI-PutNextS{s}N{n}Carrying-v0", B.PutNext, room_size=s,
+                 objs_per_room=n, start_carrying=True)
+
+    # Unlock family (:963-1014)
+    register("BabyAI-Unlock-v0", B.Unlock)
+    register("BabyAI-UnlockLocal-v0", B.UnlockLocal)
+    register("BabyAI-UnlockLocalDist-v0", B.UnlockLocal, distractors=True)
+    register("BabyAI-KeyInBox-v0", B.KeyInBox)
+    register("BabyAI-UnlockPickup-v0", B.UnlockPickup)
+    register("BabyAI-UnlockPickupDist-v0", B.UnlockPickup, distractors=True)
+    register("BabyAI-BlockedUnlockPickup-v0", B.BlockedUnlockPickup)
+    register("BabyAI-UnlockToUnlock-v0", B.UnlockToUnlock)
+
+    # Other (:1016-1085)
+    register("BabyAI-ActionObjDoor-v0", B.ActionObjDoor)
+    register("BabyAI-FindObjS5-v0", B.FindObjS5)
+    register("BabyAI-FindObjS6-v0", B.FindObjS5, room_size=6)
+    register("BabyAI-FindObjS7-v0", B.FindObjS5, room_size=7)
+    register("BabyAI-KeyCorridor-v0", B.KeyCorridor)
+    for s, r in [(3, 1), (3, 2), (3, 3), (4, 3), (5, 3), (6, 3)]:
+        register(f"BabyAI-KeyCorridorS{s}R{r}-v0", B.KeyCorridor, room_size=s,
+                 num_rows=r)
+    register("BabyAI-OneRoomS8-v0", B.OneRoomS8)
+    register("BabyAI-OneRoomS12-v0", B.OneRoomS8, room_size=12)
+    register("BabyAI-OneRoomS16-v0", B.OneRoomS8, room_size=16)
+    register("BabyAI-OneRoomS20-v0", B.OneRoomS8, room_size=20)
+    register("BabyAI-MoveTwoAcrossS5N2-v0", B.MoveTwoAcross, room_size=5,
+             objs_per_room=2)
+    register("BabyAI-MoveTwoAcrossS8N9-v0", B.MoveTwoAcross, room_size=8,
+             objs_per_room=9)
+
+    # Synth (:1087-1131)
+    register("BabyAI-Synth-v0", B.Synth)
+    register("BabyAI-SynthS5R2-v0", B.Synth, room_size=5, num_rows=2)
+    register("BabyAI-SynthLoc-v0", B.SynthLoc)
+    register("BabyAI-SynthSeq-v0", B.SynthSeq)
+    register("BabyAI-MiniBossLevel-v0", B.MiniBossLevel)
+    register("BabyAI-BossLevel-v0", B.BossLevel)
+    register("BabyAI-BossLevelNoUnlock-v0", B.BossLevelNoUnlock)
+

@@ -20,6 +20,10 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# LevelGen-style resets compile large graphs (~2 min); cache them across
+# test processes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 import sys
 

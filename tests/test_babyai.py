@@ -1,0 +1,110 @@
+"""BabyAI parity: lockstep verifier/dynamics vs the reference, including
+bot-solved trajectories that exercise the success paths of every
+instruction kind."""
+
+import numpy as np
+import pytest
+
+from tests.ref_oracle import make_reference, run_parity_rollout, state_from_reference
+
+import jax
+
+import minigrid_tpu
+
+BABYAI_IDS = [
+    "BabyAI-GoToRedBallGrey-v0",
+    "BabyAI-GoToRedBall-v0",
+    "BabyAI-GoToObj-v0",
+    "BabyAI-GoToLocal-v0",
+    "BabyAI-GoToObjDoor-v0",
+    "BabyAI-OpenRedDoor-v0",
+    "BabyAI-OpenDoor-v0",
+    "BabyAI-OpenTwoDoors-v0",
+    "BabyAI-OpenDoorsOrderN4-v0",
+    "BabyAI-Pickup-v0",
+    "BabyAI-PickupLoc-v0",
+    "BabyAI-PickupDist-v0",
+    "BabyAI-PutNextLocal-v0",
+    "BabyAI-PutNextS5N2-v0",
+    "BabyAI-PutNextS5N2Carrying-v0",
+    "BabyAI-UnlockLocal-v0",
+    "BabyAI-KeyInBox-v0",
+    "BabyAI-UnlockPickup-v0",
+    "BabyAI-ActionObjDoor-v0",
+    "BabyAI-FindObjS5-v0",
+    "BabyAI-KeyCorridorS3R3-v0",
+    "BabyAI-MoveTwoAcrossS5N2-v0",
+    "BabyAI-SynthLoc-v0",
+    "BabyAI-MiniBossLevel-v0",
+    "BabyAI-BossLevel-v0",
+]
+
+
+@pytest.mark.parametrize("env_id", BABYAI_IDS)
+@pytest.mark.parametrize("seed", [0, 5])
+def test_random_lockstep(env_id, seed):
+    """Random interaction-heavy rollouts on reference layouts."""
+    rng = np.random.default_rng(seed)
+    actions = rng.choice([0, 1, 2, 2, 2, 3, 4, 5], size=60)
+    run_parity_rollout(env_id, seed, actions=actions,
+                       check_initial_obs="Carrying" not in env_id)
+
+
+@pytest.mark.parametrize("env_id", [
+    "BabyAI-GoToRedBallGrey-v0",
+    "BabyAI-GoToLocal-v0",
+    "BabyAI-OpenRedDoor-v0",
+    "BabyAI-OpenTwoDoors-v0",
+    "BabyAI-Pickup-v0",
+    "BabyAI-PutNextLocal-v0",
+    "BabyAI-UnlockLocal-v0",
+    # KeyInBox is bot-unsolvable (reference tests/test_baby_ai_bot.py:9-14)
+    "BabyAI-UnlockPickup-v0",
+    "BabyAI-KeyCorridorS3R3-v0",
+    "BabyAI-MoveTwoAcrossS5N2-v0",
+    "BabyAI-SynthLoc-v0",
+    "BabyAI-MiniBossLevel-v0",
+    "BabyAI-BossLevel-v0",
+])
+@pytest.mark.parametrize("seed", [1, 4])
+def test_bot_solution_lockstep(env_id, seed):
+    """Replay the reference oracle bot's solving trajectory through both
+    simulators — terminating success (with reward) must match exactly."""
+    from minigrid.utils.baby_ai_bot import BabyAIBot
+
+    ref = make_reference(env_id)
+    ref.reset(seed=seed)
+    env = minigrid_tpu.make(env_id)
+    state = state_from_reference(ref, env, jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+
+    bot = BabyAIBot(ref)
+    action = None
+    done_with_success = False
+    for t in range(250):
+        action = bot.replan(action)
+        _, ref_rew, ref_term, ref_trunc, _ = ref.step(action)
+        obs, state, rew, te, tr, _ = step(jax.random.PRNGKey(t), state,
+                                          int(action))
+        np.testing.assert_allclose(float(rew), float(ref_rew), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"{env_id} t={t}")
+        assert bool(te) == bool(ref_term), f"{env_id} t={t} terminated"
+        assert bool(tr) == bool(ref_trunc), f"{env_id} t={t} truncated"
+        if ref_term:
+            done_with_success = ref_rew > 0
+            break
+    assert done_with_success, f"bot failed to solve {env_id} seed={seed}"
+
+
+def test_surface_matches_reference():
+    """Our generated mission strings come from the same grammar."""
+    import re
+
+    pattern = re.compile(
+        r"^(go to|open|pick up|put) (a|the) .*")
+    for env_id in ["BabyAI-BossLevel-v0", "BabyAI-SynthSeq-v0"]:
+        env = minigrid_tpu.make(env_id)
+        for s in range(5):
+            _, state = jax.jit(env.reset)(jax.random.PRNGKey(s))
+            text = env.mission_text(state)
+            assert pattern.match(text), f"{env_id}: {text!r}"
