@@ -194,6 +194,11 @@ def register_all() -> None:
     register("MiniGrid-RedBlueDoors-6x6-v0", RedBlueDoorEnv, size=6)
     register("MiniGrid-RedBlueDoors-8x8-v0", RedBlueDoorEnv)
 
+    # WaveFunctionCollapse (reference :563-567)
+    from minigrid_tpu.envs.wfc import WFC_PRESETS, register_wfc_presets
+
+    register_wfc_presets(WFC_PRESETS, register)
+
     _register_babyai()
 
 
