@@ -1,0 +1,59 @@
+"""Checkpoint / resume.
+
+The reference has no checkpointing; its nearest equivalents are pickling
+envs and Grid.encode/decode round-trips (SURVEY.md §5). Here environment
+state is a pytree of arrays, so checkpointing entire *batches* of episodes
+(plus learner params/optimizer state) is plain array serialization — via
+orbax when available, with a numpy .npz fallback.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Save a pytree of arrays. Uses orbax if importable, else .npz."""
+    try:
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(os.path.abspath(path), tree, force=True)
+        ckpt.wait_until_finished()
+        return
+    except Exception:
+        pass
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             treedef=np.frombuffer(repr(treedef).encode(), dtype=np.uint8),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def restore_pytree(path: str, like: Any) -> Any:
+    """Restore a pytree saved by :func:`save_pytree`, shaped like ``like``."""
+    try:
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        return ckpt.restore(os.path.abspath(path), like)
+    except Exception:
+        pass
+    npz = np.load(path if path.endswith(".npz") else path + ".npz")
+    leaves, treedef = jax.tree_util.tree_flatten(like)
+    new_leaves = [npz[f"leaf_{i}"] for i in range(len(leaves))]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def state_fingerprint(state) -> str:
+    """sha256 fingerprint of an env state (the reference ``hash()``,
+    minigrid_env.py:159-169, over array state)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(state):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()[:16]

@@ -1,0 +1,104 @@
+"""Auxiliary-subsystem tests: determinism under jit/vmap, checkpoint
+round-trips, rollout driver, sharded execution (SURVEY.md §5 equivalents)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import minigrid_tpu
+from minigrid_tpu.parallel import make_mesh, shard_batch
+from minigrid_tpu.parallel.rollout import make_rollout
+from minigrid_tpu.utils.checkpoint import (
+    restore_pytree,
+    save_pytree,
+    state_fingerprint,
+)
+
+
+@pytest.mark.parametrize("env_id", [
+    "MiniGrid-DoorKey-8x8-v0",
+    "MiniGrid-Dynamic-Obstacles-5x5-v0",
+    "BabyAI-GoToLocal-v0",
+])
+def test_same_seed_determinism(env_id):
+    """Two instances, same seeds, 50 steps: identical trajectories (the
+    reference's central determinism test, tests/test_envs.py:51-106)."""
+    env = minigrid_tpu.make(env_id)
+    step = jax.jit(env.step)
+
+    def run():
+        _, state = jax.jit(env.reset)(jax.random.PRNGKey(3))
+        out = []
+        for t in range(50):
+            obs, state, r, te, tr, _ = step(jax.random.PRNGKey(t), state,
+                                            t % 7)
+            out.append((np.asarray(obs["image"]), float(r), bool(te),
+                        bool(tr)))
+            if te or tr:
+                break
+        return out, state
+
+    out1, s1 = run()
+    out2, s2 = run()
+    assert state_fingerprint(s1.grid) == state_fingerprint(s2.grid)
+    for (i1, r1, t1, u1), (i2, r2, t2, u2) in zip(out1, out2):
+        np.testing.assert_array_equal(i1, i2)
+        assert (r1, t1, u1) == (r2, t2, u2)
+
+
+def test_vmap_matches_single():
+    """Batched stepping equals per-env stepping (vectorization soundness)."""
+    env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0")
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    obs_b, states_b = jax.jit(jax.vmap(env.reset))(keys)
+    step_b = jax.jit(jax.vmap(env.step))
+    akeys = jax.random.split(jax.random.PRNGKey(1), 8)
+    actions = jnp.arange(8) % 7
+    obs2_b, states2_b, r_b, te_b, tr_b, _ = step_b(akeys, states_b, actions)
+
+    step1 = jax.jit(env.step)
+    for i in range(8):
+        _, s_i = jax.jit(env.reset)(keys[i])
+        o_i, s2_i, r_i, te_i, tr_i, _ = step1(akeys[i], s_i, int(actions[i]))
+        np.testing.assert_array_equal(np.asarray(o_i["image"]),
+                                      np.asarray(obs2_b["image"][i]))
+        np.testing.assert_array_equal(np.asarray(s2_i.grid),
+                                      np.asarray(states2_b.grid[i]))
+        assert float(r_i) == float(r_b[i])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
+    _, states = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 16))
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, states)
+    restored = restore_pytree(path, states)
+    assert state_fingerprint(states) == state_fingerprint(restored)
+    # resuming stepping from the restored state matches
+    step = jax.jit(jax.vmap(env.step))
+    keys = jax.random.split(jax.random.PRNGKey(5), 16)
+    a = jnp.full(16, 2)
+    _, s1, r1, *_ = step(keys, states, a)
+    _, s2, r2, *_ = step(keys, jax.tree.map(jnp.asarray, restored), a)
+    np.testing.assert_array_equal(np.asarray(s1.grid), np.asarray(s2.grid))
+
+
+def test_rollout_driver_sharded():
+    """Rollouts under an 8-device mesh with the batch sharded on data."""
+    mesh = make_mesh(8, model_parallel=1)
+    env = minigrid_tpu.make("MiniGrid-Empty-8x8-v0")
+    B = 32
+    obs, states = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), B))
+    obs = shard_batch(mesh, obs)
+    states = shard_batch(mesh, states)
+    rollout = jax.jit(make_rollout(env, None, length=16))
+    states, obs, key, chunk = rollout(None, states, obs,
+                                      jax.random.PRNGKey(1))
+    assert chunk.reward.shape == (16, B)
+    assert chunk.obs["image"].shape == (16, B, 7, 7, 3)
+    # episodes auto-reset: step counts stay within budget
+    assert int(states.step_count.max()) <= env.params.max_steps
