@@ -9,6 +9,7 @@ of arrays, transitions as branchless jit/vmap kernels, and scaling via
 """
 
 from minigrid_tpu.core.actions import Actions
+from minigrid_tpu.core.mission_space import MissionSpace
 from minigrid_tpu.core.types import EnvParams, EnvState
 from minigrid_tpu.registry import make, register, registered_ids
 from minigrid_tpu import register_envs as _register_envs
@@ -21,6 +22,7 @@ __all__ = [
     "Actions",
     "EnvParams",
     "EnvState",
+    "MissionSpace",
     "make",
     "register",
     "registered_ids",

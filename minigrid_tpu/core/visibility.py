@@ -65,14 +65,14 @@ def process_vis(transparent: jax.Array, agent_x: int) -> jax.Array:
     Returns (V, V) bool visibility mask.
     """
     V = transparent.shape[0]
-    seed_bottom = jnp.zeros((V,), bool).at[agent_x].set(True)
+    seed = jnp.zeros((V,), bool).at[agent_x].set(True)
 
-    # iterate rows j = V-1 .. 0; row j's passes seed row j-1
-    trans_rows = jnp.flip(transparent.T, axis=0)  # (V rows, V) bottom-up
-
-    def body(seed, trans_row):
-        m_row, ups = _row_pass(seed, trans_row)
-        return ups, m_row
-
-    _, rows = jax.lax.scan(body, seed_bottom, trans_rows)
-    return jnp.flip(rows, axis=0).T  # back to [x, y]
+    # iterate rows j = V-1 .. 0; row j's passes seed row j-1. V is small
+    # and static, so the row recurrence is unrolled — XLA fuses the whole
+    # mask computation into straight-line vector code (no loop overhead
+    # under vmap over thousands of envs).
+    rows = []
+    for j in range(V - 1, -1, -1):
+        m_row, seed = _row_pass(seed, transparent[:, j])
+        rows.append(m_row)
+    return jnp.stack(rows[::-1], axis=1)

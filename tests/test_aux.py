@@ -102,3 +102,22 @@ def test_rollout_driver_sharded():
     assert chunk.obs["image"].shape == (16, B, 7, 7, 3)
     # episodes auto-reset: step counts stay within budget
     assert int(states.step_count.max()) <= env.params.max_steps
+
+
+def test_pprint_and_agent_sees_match_reference():
+    """Introspection helpers vs the reference implementations."""
+    from tests.ref_oracle import make_reference, state_from_reference
+    from minigrid_tpu.utils.introspect import agent_sees, pprint_grid
+
+    ref = make_reference("MiniGrid-DoorKey-8x8-v0")
+    ref.reset(seed=11)
+    env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
+    state = state_from_reference(ref, env, jax.random.PRNGKey(0))
+
+    assert pprint_grid(state) == ref.pprint_grid()
+    grid = np.asarray(state.grid)
+    for x in range(8):
+        for y in range(8):
+            if grid[x, y, 0] != 1:  # non-empty cells only
+                assert agent_sees(env.params, state, x, y) == \
+                    ref.agent_sees(x, y), (x, y)
