@@ -98,6 +98,55 @@ def decode(array) -> jax.Array:
     return jnp.concatenate([array, pad], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Packed-cell representation. TPU gathers with per-env dynamic indices do not
+# vectorize (XLA serializes them), so the hot kernels read cells by one-hot
+# mask reduction instead — pure VPU elementwise work. Packing the 5 uint8
+# channels into one int32 (4+3+2+4+3 = 16 bits: every channel value is bounded
+# by the vocabularies in core/constants.py) makes that reduction a single
+# integer sum instead of five.
+# ---------------------------------------------------------------------------
+
+def pack_cells(cells: jax.Array) -> jax.Array:
+    """(..., 5) uint8 -> (...,) int32 packed cell."""
+    c = cells.astype(jnp.int32)
+    return (
+        c[..., 0]
+        | (c[..., 1] << 4)
+        | (c[..., 2] << 7)
+        | (c[..., 3] << 9)
+        | (c[..., 4] << 13)
+    )
+
+
+def unpack_cells(packed: jax.Array) -> jax.Array:
+    """(...,) int32 packed cell -> (..., 5) uint8."""
+    p = packed
+    return jnp.stack(
+        [p & 15, (p >> 4) & 7, (p >> 7) & 3, (p >> 9) & 15, (p >> 13) & 7],
+        axis=-1,
+    ).astype(jnp.uint8)
+
+
+WALL_PACKED = int(C.WALL | (C.COLOR_TO_IDX["grey"] << 4))
+EMPTY_PACKED = int(C.EMPTY)
+
+
+def read_cell_onehot(packed_grid: jax.Array, x, y, oob_value: int) -> jax.Array:
+    """Read packed cell (x, y) without a gather: one-hot mask + sum.
+
+    ``x``/``y`` may be out of range, in which case ``oob_value`` is returned
+    (the mask is all-false). Vectorizes cleanly under vmap where a per-env
+    dynamic-index gather would serialize.
+    """
+    W, H = packed_grid.shape
+    xs = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
+    oh = (xs == x) & (ys == y)
+    val = jnp.sum(jnp.where(oh, packed_grid, 0))
+    return jnp.where(jnp.any(oh), val, oob_value)
+
+
 def transparent_mask(grid: jax.Array) -> jax.Array:
     """(W, H) bool — per-cell ``see_behind`` (world_object.py:57-59,164,181)."""
     t = grid[..., 0]

@@ -3,11 +3,18 @@
 The reference builds the agent view by materializing a sub-``Grid`` and
 rotating it 1-4 times (``minigrid_env.py:597-632`` calling ``grid.slice`` and
 ``grid.rotate_left``, grid.py:110-143). Here the slice+rotate collapse into a
-single gather: for each view cell (vx, vy) the world coordinate is the affine
+single read: for each view cell (vx, vy) the world coordinate is the affine
 map ``top_left + right_vec*vx - dir_vec*vy`` (the inverse of the reference's
-``get_view_coords``, minigrid_env.py:426-451), so one advanced-index read
-produces the already-rotated view. Out-of-bounds reads yield walls
-(grid.py:139). Occlusion comes from :mod:`minigrid_tpu.core.visibility`.
+``get_view_coords``, minigrid_env.py:426-451), so one indexed read produces
+the already-rotated view. Out-of-bounds reads yield walls (grid.py:139).
+Occlusion comes from :mod:`minigrid_tpu.core.visibility`.
+
+The read itself is NOT a gather: per-env dynamic-index gathers serialize on
+TPU (measured ~200x slower than the arithmetic around them). Instead the grid
+is packed to one int32 per cell (grid.pack_cells) and each view cell is read
+as a one-hot compare + masked sum over the flattened grid — a (V*V, W*H)
+elementwise contraction the VPU chews through in lockstep across thousands of
+vmapped envs.
 """
 
 from __future__ import annotations
@@ -25,7 +32,15 @@ def view_world_coords(params: EnvParams, agent_pos, agent_dir):
     """(V, V) world x/y indices for every view cell, agent frame."""
     V = params.view_size
     hs = V // 2
-    f = jnp.asarray(C.DIR_TO_VEC)[agent_dir]           # forward (dx, dy)
+    # DIR_TO_VEC lookup as arithmetic (avoids a per-env table gather):
+    # dirs 0..3 -> (1,0) (0,1) (-1,0) (0,-1)  (constants.py DIR_TO_VEC)
+    d = jnp.asarray(agent_dir, jnp.int32)
+    f = jnp.stack(
+        [
+            (d == 0).astype(jnp.int32) - (d == 2),
+            (d == 1).astype(jnp.int32) - (d == 3),
+        ]
+    )
     r = jnp.stack([-f[1], f[0]])                        # right vec
     top_left = agent_pos + f * (V - 1) - r * hs
     vx = jax.lax.broadcasted_iota(jnp.int32, (V, V), 0)
@@ -38,12 +53,15 @@ def view_world_coords(params: EnvParams, agent_pos, agent_dir):
 def gen_obs_grid(params: EnvParams, state: EnvState):
     """View cells (V, V, 5) + visibility mask (V, V), both agent-frame."""
     V = params.view_size
+    W, H = params.width, params.height
     wx, wy = view_world_coords(params, state.agent_pos, state.agent_dir)
-    inb = (wx >= 0) & (wx < params.width) & (wy >= 0) & (wy < params.height)
-    cells = state.grid[
-        jnp.clip(wx, 0, params.width - 1), jnp.clip(wy, 0, params.height - 1)
-    ]
-    cells = jnp.where(inb[..., None], cells, jnp.asarray(C.WALL_CELL))
+    inb = (wx >= 0) & (wx < W) & (wy >= 0) & (wy < H)
+    # gather-free window read: one-hot over the flattened packed grid
+    flat = jnp.clip(wx, 0, W - 1) * H + jnp.clip(wy, 0, H - 1)
+    packed = G.pack_cells(state.grid).reshape(-1)
+    oh = flat.reshape(-1)[:, None] == jnp.arange(W * H, dtype=jnp.int32)
+    cp = jnp.sum(jnp.where(oh, packed[None, :], 0), axis=1).reshape(V, V)
+    cells = G.unpack_cells(jnp.where(inb, cp, G.WALL_PACKED))
 
     if params.see_through_walls:
         vis = jnp.ones((V, V), bool)

@@ -3,10 +3,12 @@
 Re-design of the reference hot loop (``minigrid/minigrid_env.py:525-595``):
 the action branch ladder, the per-object virtual dispatch (``can_overlap``/
 ``can_pickup``/``toggle``, world_object.py:45-63,177-194,290-293) and the
-mutable grid update all become a fixed dataflow of table gathers, compares
-and ``where`` selects plus exactly one cell gather and one cell scatter —
-so thousands of envs step in lockstep under ``jit(vmap(step))`` with no
-divergent control flow.
+mutable grid update all become a fixed dataflow of compares and
+``where`` selects — so thousands of envs step in lockstep under
+``jit(vmap(step))`` with no divergent control flow. The front-cell read and
+write deliberately avoid gather/scatter (per-env dynamic indexing serializes
+on TPU): both are one-hot coordinate masks over the whole (W, H) grid, fused
+by XLA into a few elementwise passes.
 """
 
 from __future__ import annotations
@@ -15,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core import constants as C
+from minigrid_tpu.core import grid as G
 from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.types import EnvParams, EnvState
 
@@ -41,11 +44,29 @@ def step_core(params: EnvParams, state: EnvState, action) -> tuple[EnvState, jax
     new_dir = (state.agent_dir + turn) % 4
 
     # --- front cell (minigrid_env.py:535-538) --------------------------
-    fwd = state.agent_pos + jnp.asarray(C.DIR_TO_VEC)[state.agent_dir]
-    fx = jnp.clip(fwd[0], 0, params.width - 1)
-    fy = jnp.clip(fwd[1], 0, params.height - 1)
-    in_bounds = (fwd[0] == fx) & (fwd[1] == fy)
-    fwd_cell = jnp.where(in_bounds, state.grid[fx, fy], jnp.asarray(C.WALL_CELL))
+    # DIR_TO_VEC as arithmetic: dirs 0..3 -> (1,0) (0,1) (-1,0) (0,-1)
+    d = state.agent_dir
+    dvec = jnp.stack(
+        [
+            (d == 0).astype(jnp.int32) - (d == 2),
+            (d == 1).astype(jnp.int32) - (d == 3),
+        ]
+    )
+    fwd = state.agent_pos + dvec
+    W, H = params.width, params.height
+    in_bounds = (fwd[0] >= 0) & (fwd[0] < W) & (fwd[1] >= 0) & (fwd[1] < H)
+    # gather-free read of the front cell via a one-hot coordinate mask
+    xs = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
+    front_mask = (xs == fwd[0]) & (ys == fwd[1])  # all-false when OOB
+    packed_grid = G.pack_cells(state.grid)
+    fwd_cell = G.unpack_cells(
+        jnp.where(
+            in_bounds,
+            jnp.sum(jnp.where(front_mask, packed_grid, 0)),
+            G.WALL_PACKED,
+        )
+    )
     ftype = fwd_cell[0].astype(jnp.int32)
     fcolor = fwd_cell[1]
     fstate = fwd_cell[2]
@@ -54,8 +75,14 @@ def step_core(params: EnvParams, state: EnvState, action) -> tuple[EnvState, jax
     is_carrying = carrying[0] != C.EMPTY
 
     # --- forward (minigrid_env.py:551-558) -----------------------------
-    can_overlap = jnp.asarray(C.CAN_OVERLAP_TABLE)[ftype] | (
-        (ftype == C.DOOR) & (fstate == C.OPEN)
+    # CAN_OVERLAP_TABLE (constants.py:87) inlined as compares — a per-env
+    # gather from an 11-entry table costs more than four equality tests
+    can_overlap = (
+        (ftype == C.EMPTY)
+        | (ftype == C.FLOOR)
+        | (ftype == C.GOAL)
+        | (ftype == C.LAVA)
+        | ((ftype == C.DOOR) & (fstate == C.OPEN))
     )
     is_forward = action == Actions.forward
     new_pos = jnp.where(is_forward & can_overlap & in_bounds, fwd, state.agent_pos)
@@ -67,7 +94,7 @@ def step_core(params: EnvParams, state: EnvState, action) -> tuple[EnvState, jax
     # --- pickup (minigrid_env.py:561-566) ------------------------------
     do_pickup = (
         (action == Actions.pickup)
-        & jnp.asarray(C.CAN_PICKUP_TABLE)[ftype]
+        & ((ftype == C.KEY) | (ftype == C.BALL) | (ftype == C.BOX))
         & ~is_carrying
     )
 
@@ -112,8 +139,9 @@ def step_core(params: EnvParams, state: EnvState, action) -> tuple[EnvState, jax
     new_fwd_cell = jnp.where(is_toggle & is_box, contents_cell, new_fwd_cell)
 
     write = in_bounds & (do_pickup | do_drop | (is_toggle & (is_door | is_box)))
-    new_grid = state.grid.at[fx, fy].set(
-        jnp.where(write, new_fwd_cell, state.grid[fx, fy])
+    # scatter-free write: blend the new cell in through the coordinate mask
+    new_grid = jnp.where(
+        (front_mask & write)[..., None], new_fwd_cell, state.grid
     )
 
     new_carrying = jnp.where(
