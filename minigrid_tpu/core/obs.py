@@ -54,14 +54,32 @@ def gen_obs_grid(params: EnvParams, state: EnvState):
     """View cells (V, V, 5) + visibility mask (V, V), both agent-frame."""
     V = params.view_size
     W, H = params.width, params.height
-    wx, wy = view_world_coords(params, state.agent_pos, state.agent_dir)
-    inb = (wx >= 0) & (wx < W) & (wy >= 0) & (wy < H)
-    # gather-free window read: one-hot over the flattened packed grid
-    flat = jnp.clip(wx, 0, W - 1) * H + jnp.clip(wy, 0, H - 1)
-    packed = G.pack_cells(state.grid).reshape(-1)
-    oh = flat.reshape(-1)[:, None] == jnp.arange(W * H, dtype=jnp.int32)
-    cp = jnp.sum(jnp.where(oh, packed[None, :], 0), axis=1).reshape(V, V)
-    cells = G.unpack_cells(jnp.where(inb, cp, G.WALL_PACKED))
+    hs = V // 2
+    # Axis-separated window read. The forward/right vectors are always unit
+    # axis vectors, so wx depends on exactly one of (vx, vy) and wy on the
+    # other: the rotated view is an axis-aligned window followed by a
+    # transpose for dirs 0/2. That factors the (V*V, W*H) one-hot
+    # contraction into two ~(V, W) ones — ~4x fewer lane-ops.
+    d = jnp.asarray(state.agent_dir, jnp.int32)
+    fx = (d == 0).astype(jnp.int32) - (d == 2)
+    fy = (d == 1).astype(jnp.int32) - (d == 3)
+    rx, ry = -fy, fx
+    pos = state.agent_pos
+    tlx = pos[0] + fx * (V - 1) - rx * hs
+    tly = pos[1] + fy * (V - 1) - ry * hs
+    m = jnp.arange(V, dtype=jnp.int32)
+    wxm = tlx + (rx - fx) * m          # world x as a function of one index
+    wyn = tly + (ry - fy) * m          # world y as a function of the other
+    ox = wxm[:, None] == jnp.arange(W, dtype=jnp.int32)   # (V, W)
+    oy = wyn[:, None] == jnp.arange(H, dtype=jnp.int32)   # (V, H)
+    packed = G.pack_cells(state.grid)                      # (W, H)
+    t = jnp.sum(jnp.where(ox[:, :, None], packed[None], 0), axis=1)  # (V, H)
+    u = jnp.sum(jnp.where(oy[None], t[:, None, :], 0), axis=2)       # (V, V)
+    inb = (jnp.any(ox, axis=1)[:, None]) & (jnp.any(oy, axis=1)[None])
+    u = jnp.where(inb, u, G.WALL_PACKED)
+    # dirs 1/3: u is already [vx, vy]; dirs 0/2: indices swap
+    swap = (d == 0) | (d == 2)
+    cells = G.unpack_cells(jnp.where(swap, u.T, u))
 
     if params.see_through_walls:
         vis = jnp.ones((V, V), bool)

@@ -3,18 +3,18 @@
 The reference computes visibility with a sequential two-pass sweep over the
 rotated view grid (``minigrid/core/grid.py:291-328``): rows bottom-to-top; in
 each row a left-to-right pass then a right-to-left pass propagate visibility
-sideways and seed the row above. Cell-by-cell that is O(V^2) Python; here the
-same function is computed with **per-row boolean reachability matrices**:
+sideways and seed the row above. Cell-by-cell that is O(V^2) Python.
 
-Within one pass, visibility spreads along a row through runs of transparent
-cells, so "cell k (visible) reaches cell i" is exactly "no opaque cell lies
-strictly between k and i". With ``Copq[i] = #opaque cells before i`` that is
-``Copq[i] == Copq[k]`` — an O(V^2) dense boolean mask computed from one
-cumsum. Each pass then becomes a single masked ``any`` reduction (a tiny
-(V,V) x (V,) contraction that XLA fuses onto the VPU), and only the V-row
-bottom-to-top recurrence remains sequential (a ``lax.scan`` of length V).
-The result is bit-identical to the reference sweep (validated exhaustively in
-tests/test_visibility.py).
+Here each row of V cells is packed into the low bits of ONE int32, and a
+row pass becomes Kogge-Stone carry propagation: visibility spreads along a
+row through runs of transparent cells, and "reach within distance 2^k" masks
+compose by doubling, so a full left-to-right pass is 3 shift-and-or steps
+for V <= 8 (log2(V) in general). The whole (V, V) flood costs ~20 integer
+ops per row on scalars — under ``vmap`` these are (batch,) int32 vector ops
+the VPU executes in lockstep across thousands of envs, with no (V, V)
+intermediate matrices at all. Only the V-row bottom-to-top recurrence remains
+sequential, unrolled (V is static). The result is bit-identical to the
+reference sweep (validated exhaustively in tests/test_visibility.py).
 """
 
 from __future__ import annotations
@@ -23,36 +23,39 @@ import jax
 import jax.numpy as jnp
 
 
-def _row_pass(seed_row: jax.Array, trans_row: jax.Array):
-    """Process one row; returns (final row mask, seeds for the row above).
+def _row_pass_bits(seed, t, V: int, full: int):
+    """One row's two sweeps on bit-packed masks.
 
-    seed_row:  (V,) bool — mask state of this row before its two passes.
-    trans_row: (V,) bool — per-cell transparency (``see_behind``).
+    seed: int32 scalar, bit x set = cell x seeded visible before the passes.
+    t:    int32 scalar, bit x set = cell x transparent (``see_behind``).
+    Returns (row visibility mask, seeds for the row above), both packed.
     """
-    V = seed_row.shape[0]
-    idx = jnp.arange(V)
-    opaque = ~trans_row
+    # pass 1, ascending x: m[i] = seed[i] | (m[i-1] & t[i-1]); closure by
+    # doubling with T_k[i] = all-transparent(t[i-2^k .. i-1])
+    m = seed
+    T = (t << 1) & full
+    shift = 1
+    while shift < V:
+        m |= (m << shift) & T
+        T &= (T << shift) & full
+        shift *= 2
 
-    # exclusive / inclusive running counts of opaque cells
-    c_excl = jnp.cumsum(opaque) - opaque.astype(jnp.int32)
-    c_incl = jnp.cumsum(opaque)
+    m1 = m
+    # pass 2, descending x: m[i] |= m[i+1] & t[i+1]
+    U = t >> 1
+    shift = 1
+    while shift < V:
+        m |= (m >> shift) & U
+        U &= U >> shift
+        shift *= 2
+    m2 = m
 
-    le = idx[:, None] <= idx[None, :]  # k <= i
-    # pass 1 (left-to-right): k reaches i>k iff trans[k..i-1] all True
-    chain_r = le & (c_excl[None, :] == c_excl[:, None])
-    m1 = jnp.any(chain_r & seed_row[:, None], axis=0)
-
-    # visited cells of pass 1 (i < V-1) spread up-left and up-right diagonals
-    e = m1 & trans_row & (idx < V - 1)
-    up1 = e | jnp.concatenate([e[:1] & False, e[:-1]])
-
-    # pass 2 (right-to-left): k reaches i<k iff trans[i+1..k] all True
-    chain_l = le.T & (c_incl[:, None] == c_incl[None, :])
-    m2 = jnp.any(chain_l & m1[:, None], axis=0)
-
-    f = m2 & trans_row & (idx >= 1)
-    up2 = f | jnp.concatenate([f[1:], f[:1] & False])
-
+    # seeds for the row above (grid.py:316-325): a visited transparent cell
+    # marks the cell above it and that cell's left/right neighbor
+    e = m1 & t & (full >> 1)  # pass-1 cells with x < V-1
+    up1 = e | ((e << 1) & full)
+    f = m2 & t & (full ^ 1)  # pass-2 cells with x >= 1
+    up2 = f | (f >> 1)
     return m2, up1 | up2
 
 
@@ -65,14 +68,17 @@ def process_vis(transparent: jax.Array, agent_x: int) -> jax.Array:
     Returns (V, V) bool visibility mask.
     """
     V = transparent.shape[0]
-    seed = jnp.zeros((V,), bool).at[agent_x].set(True)
+    full = (1 << V) - 1
+    weights = (1 << jnp.arange(V, dtype=jnp.int32))[:, None]
+    tcols = jnp.sum(transparent.astype(jnp.int32) * weights, axis=0)  # (V,)
 
-    # iterate rows j = V-1 .. 0; row j's passes seed row j-1. V is small
-    # and static, so the row recurrence is unrolled — XLA fuses the whole
-    # mask computation into straight-line vector code (no loop overhead
-    # under vmap over thousands of envs).
+    seed = jnp.int32(1 << agent_x)
+    # rows j = V-1 .. 0; V is small and static, so the recurrence unrolls
+    # into straight-line integer code
     rows = []
     for j in range(V - 1, -1, -1):
-        m_row, seed = _row_pass(seed, transparent[:, j])
+        m_row, seed = _row_pass_bits(seed, tcols[j], V, full)
         rows.append(m_row)
-    return jnp.stack(rows[::-1], axis=1)
+    packed = jnp.stack(rows[::-1])  # (V,) — entry j = row y=j
+    bits = jnp.arange(V, dtype=jnp.int32)[:, None]
+    return ((packed[None, :] >> bits) & 1).astype(bool)
