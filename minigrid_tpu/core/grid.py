@@ -31,12 +31,24 @@ def coord_grids(width: int, height: int) -> tuple[jax.Array, jax.Array]:
 
 
 def set_cell(grid: jax.Array, x, y, cell) -> jax.Array:
-    """Write one cell; x/y may be traced scalars (reference grid.py:65-72)."""
-    return grid.at[x, y].set(jnp.asarray(cell, jnp.uint8))
+    """Write one cell; x/y may be traced scalars (reference grid.py:65-72).
+
+    Implemented as a coordinate-mask blend, not a scatter: per-env dynamic
+    scatters serialize on TPU under vmap, while the mask blend stays a fused
+    elementwise pass (and constant-folds to a plain update when x/y are
+    static). Out-of-range coordinates write nothing, matching scatter's
+    drop-out-of-bounds semantics.
+    """
+    xs, ys = coord_grids(grid.shape[0], grid.shape[1])
+    m = (xs == x) & (ys == y)
+    return jnp.where(m[..., None], jnp.asarray(cell, jnp.uint8), grid)
 
 
 def get_cell(grid: jax.Array, x, y) -> jax.Array:
-    return grid[x, y]
+    """Read one cell; x/y may be traced scalars. Gather-free (one-hot mask
+    reduction over the packed grid) for the same reason as :func:`set_cell`;
+    out-of-range reads return the empty cell."""
+    return unpack_cells(read_cell_onehot(pack_cells(grid), x, y, EMPTY_PACKED))
 
 
 def fill_rect(grid: jax.Array, x0, y0, w, h, cell) -> jax.Array:

@@ -148,29 +148,50 @@ def init_desc_slot(descs: Descs, slot, grid, agent_pos, agent_dir, room_rect,
     )
 
 
-def _front_pos(params, state):
-    fwd = state.agent_pos + jnp.asarray(C.DIR_TO_VEC)[state.agent_dir]
-    return (jnp.clip(fwd[0], 0, params.width - 1),
-            jnp.clip(fwd[1], 0, params.height - 1))
+def _front_mask(params, state):
+    """(W, H) one-hot mask of the cell in front of the agent.
+
+    Gather-free (per-env dynamic indexing serializes on TPU); all-false when
+    the front cell is out of bounds (agents sit inside the wall rim, so that
+    only happens in degenerate grids).
+    """
+    d = jnp.asarray(state.agent_dir, jnp.int32)
+    fx = state.agent_pos[0] + (d == 0).astype(jnp.int32) - (d == 2)
+    fy = state.agent_pos[1] + (d == 1).astype(jnp.int32) - (d == 3)
+    W, H = params.width, params.height
+    xs = jax.lax.broadcasted_iota(jnp.int32, (W, H), 0)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
+    return (xs == fx) & (ys == fy)
+
+
+def _front_type_state(grid, fm):
+    """(type, door_state) of the front cell, via the one-hot mask."""
+    from minigrid_tpu.core import grid as G
+
+    packed = jnp.sum(jnp.where(fm, G.pack_cells(grid), 0))
+    return packed & 15, (packed >> 7) & 3
 
 
 def update_tracking(params, descs: Descs, prev, new, action) -> Descs:
     """Identity/position tracking across one env transition."""
     action = jnp.asarray(action, jnp.int32)
-    fx, fy = _front_pos(params, prev)
+    fm = _front_mask(params, prev)
     was_empty = prev.carrying[0] == C.EMPTY
     now_empty = new.carrying[0] == C.EMPTY
     picked = (action == Actions.pickup) & was_empty & ~now_empty
     dropped = (action == Actions.drop) & ~was_empty & now_empty
-    box_gone = (action == Actions.toggle) & (prev.grid[fx, fy, 0] == C.BOX)
+    ftype, _ = _front_type_state(prev.grid, fm)
+    box_gone = (action == Actions.toggle) & (ftype == C.BOX)
 
-    at_front = descs.mask_objs[:, fx, fy]          # (8,)
+    at_front = jnp.any(descs.mask_objs & fm[None], axis=(1, 2))  # (8,)
     take = picked & at_front
     lose_box = box_gone & at_front
     gain = dropped & descs.carried
 
-    mask_objs = descs.mask_objs.at[:, fx, fy].set(
-        (at_front & ~take & ~lose_box) | gain
+    mask_objs = jnp.where(
+        fm[None],
+        ((at_front & ~take & ~lose_box) | gain)[:, None, None],
+        descs.mask_objs,
     )
     carried = jnp.where(take, True, jnp.where(gain, False, descs.carried))
     # obj_poss refresh happens on every drop action (roomgrid_level.py:91-93)
@@ -187,22 +208,24 @@ def _leaf_verify(params, instr: InstrState, i: int, gate, prev, new, action,
     strict = instr.strict[i]
     d = instr.descs
     mi, fi = 2 * i, 2 * i + 1
-    fx, fy = _front_pos(params, new)
-    front = new.grid[fx, fy]
+    fm = _front_mask(params, new)
+    ftype, fstate = _front_type_state(new.grid, fm)
     now_carrying = new.carrying[0] != C.EMPTY
 
     # --- open (verifier.py:254-288) ---
-    front_is_door = front[0] == C.DOOR
+    front_is_door = ftype == C.DOOR
     open_success = (
         (action == Actions.toggle)
-        & d.mask_objs[mi, fx, fy] & front_is_door & (front[2] == C.OPEN)
+        & jnp.any(d.mask_objs[mi] & fm)
+        & front_is_door
+        & (fstate == C.OPEN)
     )
     open_fail = (
         (action == Actions.toggle) & strict & front_is_door & ~open_success
     )
 
     # --- goto (verifier.py:290-317): stale obj_poss ---
-    goto_success = d.mask_poss[mi, fx, fy]
+    goto_success = jnp.any(d.mask_poss[mi] & fm)
 
     # --- pickup (verifier.py:319-362) ---
     pk = action == Actions.pickup
@@ -213,13 +236,15 @@ def _leaf_verify(params, instr: InstrState, i: int, gate, prev, new, action,
     was_empty = prev.carrying[0] == C.EMPTY
     drop_ok = (action == Actions.drop) & ~was_empty & (new.carrying[0] == C.EMPTY)
     fixed = d.mask_poss[fi]
-    W, H = fixed.shape
-    adjacent = jnp.zeros((), bool)
-    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        nx = jnp.clip(fx + dx, 0, W - 1)
-        ny = jnp.clip(fy + dy, 0, H - 1)
-        inb = (fx + dx >= 0) & (fx + dx < W) & (fy + dy >= 0) & (fy + dy < H)
-        adjacent |= inb & fixed[nx, ny]
+    # adjacency via static shifts of the front mask (zero fill at borders)
+    z = jnp.zeros_like(fm)
+    neigh = (
+        jnp.concatenate([fm[1:], z[:1]], axis=0)      # cell at x+1
+        | jnp.concatenate([z[:1], fm[:-1]], axis=0)   # cell at x-1
+        | jnp.concatenate([fm[:, 1:], z[:, :1]], axis=1)
+        | jnp.concatenate([z[:, :1], fm[:, :-1]], axis=1)
+    )
+    adjacent = jnp.any(fixed & neigh)
     put_success = drop_ok & instr.pre_move_carried[i] & adjacent
     put_fail = pk & strict & now_carrying
 
