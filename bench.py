@@ -37,16 +37,25 @@ def build(env_id: str, batch: int, chunk: int, unroll: int = 4):
         key, k_act, k_step = jax.random.split(key, 3)
         # the whole chunk's action stream in one PRNG call
         actions = jax.random.randint(k_act, (chunk, batch), 0, 7)
-        keys = jax.random.split(k_step, batch)
+        # fresh per-(step, env) keys: fold the step index into the chunk key
+        # so stochastic envs (e.g. DynamicObstacles) draw independent
+        # randomness every step, then split per env inside the scan body
+        step_keys = jax.vmap(lambda i: jax.random.fold_in(k_step, i))(
+            jnp.arange(chunk)
+        )
 
-        def body(carry, a):
+        def body(carry, xs):
             (state,) = carry
+            k, a = xs
+            keys = jax.random.split(k, batch)
             obs, state, reward, term, trunc, _ = step(keys, state, a)
             # consume obs so observation generation stays in the graph
             probe = obs["image"].astype(jnp.int32).sum() + reward.sum()
             return (state,), probe
 
-        (state,), probes = jax.lax.scan(body, (state,), actions, unroll=unroll)
+        (state,), probes = jax.lax.scan(
+            body, (state,), (step_keys, actions), unroll=unroll
+        )
         return state, key, probes.sum()
 
     return env, reset, jax.jit(run_chunk, donate_argnums=(0,))

@@ -49,19 +49,77 @@ class MissionSpace(_Base):
         ]
         return self.mission_func(*picks)
 
+    def _template(self):
+        """Split ``mission_func``'s output into literal segments around the
+        placeholder slots by realizing it once with sentinel tokens.
+
+        Returns ``(segments, slot_args)`` where the template reads
+        ``segments[0] + <slot_0> + segments[1] + <slot_1> + ...`` and
+        ``slot_args[j]`` is the ``ordered_placeholders`` index bound by
+        slot ``j`` (an argument may appear multiple times or not at all).
+        Returns ``None`` when the function does not pass sentinels through
+        verbatim (e.g. it post-processes its arguments)."""
+        n = len(self.ordered_placeholders)
+        sentinels = [f"\x00{i}\x00" for i in range(n)]
+        try:
+            template = self.mission_func(*sentinels)
+        except Exception:
+            return None
+        segments, slot_args = [], []
+        pos = 0
+        while True:
+            hits = [
+                (template.find(s, pos), i)
+                for i, s in enumerate(sentinels)
+                if template.find(s, pos) != -1
+            ]
+            if not hits:
+                segments.append(template[pos:])
+                return segments, slot_args
+            at, arg = min(hits)
+            segments.append(template[pos:at])
+            slot_args.append(arg)
+            pos = at + len(sentinels[arg])
+
     def contains(self, x) -> bool:
+        """Reverse-parse ``x`` against the placeholder lists — the analog of
+        the reference's span analysis (``minigrid/core/mission.py:80-163``):
+        match the literal template segments, then at each placeholder slot
+        try only the candidates that actually occur at that position
+        (backtracking handles overlapping candidates), binding repeated
+        arguments consistently."""
         if not isinstance(x, str):
             return False
         if self.ordered_placeholders is None:
             return x == self.mission_func()
-        # try every placeholder assignment whose realization matches; the
-        # candidate lists are small, so brute force over the product is
-        # robust against overlapping placeholder strings
-        # (mission.py:80-163's span analysis)
-        for combo in itertools.product(*self.ordered_placeholders):
-            if self.mission_func(*combo) == x:
-                return True
-        return False
+        tpl = self._template()
+        if tpl is None:  # non-pass-through mission_func: exhaustive fallback
+            return any(
+                self.mission_func(*combo) == x
+                for combo in itertools.product(*self.ordered_placeholders)
+            )
+        segments, slot_args = tpl
+
+        def match(slot: int, pos: int, bound: dict) -> bool:
+            seg = segments[slot]
+            if not x.startswith(seg, pos):
+                return False
+            pos += len(seg)
+            if slot == len(slot_args):
+                return pos == len(x)
+            arg = slot_args[slot]
+            if arg in bound:
+                cands = [bound[arg]]
+            else:
+                cands = self.ordered_placeholders[arg]
+            for c in cands:
+                if x.startswith(c, pos) and match(
+                    slot + 1, pos + len(c), {**bound, arg: c}
+                ):
+                    return True
+            return False
+
+        return match(0, 0, {})
 
     def __eq__(self, other) -> bool:
         if not isinstance(other, MissionSpace):

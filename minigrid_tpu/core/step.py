@@ -27,23 +27,16 @@ def reward_on_success(params: EnvParams, step_count) -> jax.Array:
     return 1.0 - 0.9 * (step_count.astype(jnp.float32) / params.max_steps)
 
 
-def step_core(params: EnvParams, state: EnvState, action) -> tuple[EnvState, jax.Array, jax.Array]:
-    """One transition. Returns (new_state, reward, terminated).
+def front_cell(params: EnvParams, state: EnvState):
+    """Gather-free read of the cell in front of the agent
+    (minigrid_env.py:535-538 / front_pos :419-424).
 
-    Truncation (step_count >= max_steps, minigrid_env.py:587) is recorded in
-    ``new_state.truncated``; callers compose it with env-specific reward /
-    termination overrides before generating observations.
-    """
-    action = jnp.asarray(action, jnp.int32)
-    step_count = state.step_count + 1
-
-    # --- direction update (minigrid_env.py:541-548) --------------------
-    turn = jnp.where(
-        action == Actions.left, -1, jnp.where(action == Actions.right, 1, 0)
-    )
-    new_dir = (state.agent_dir + turn) % 4
-
-    # --- front cell (minigrid_env.py:535-538) --------------------------
+    Returns ``(fwd, in_bounds, front_mask, fwd_cell)``: the forward
+    coordinate, its validity, the one-hot (W, H) coordinate mask used for
+    the read (reusable for the scatter-free write), and the (5,) cell value
+    (a Wall when out of bounds). Shared by :func:`step_core` and any
+    consumer that must see exactly what the transition sees (e.g. the
+    NoDeath wrapper's pre-step death check)."""
     # DIR_TO_VEC as arithmetic: dirs 0..3 -> (1,0) (0,1) (-1,0) (0,-1)
     d = state.agent_dir
     dvec = jnp.stack(
@@ -67,6 +60,27 @@ def step_core(params: EnvParams, state: EnvState, action) -> tuple[EnvState, jax
             G.WALL_PACKED,
         )
     )
+    return fwd, in_bounds, front_mask, fwd_cell
+
+
+def step_core(params: EnvParams, state: EnvState, action) -> tuple[EnvState, jax.Array, jax.Array]:
+    """One transition. Returns (new_state, reward, terminated).
+
+    Truncation (step_count >= max_steps, minigrid_env.py:587) is recorded in
+    ``new_state.truncated``; callers compose it with env-specific reward /
+    termination overrides before generating observations.
+    """
+    action = jnp.asarray(action, jnp.int32)
+    step_count = state.step_count + 1
+
+    # --- direction update (minigrid_env.py:541-548) --------------------
+    turn = jnp.where(
+        action == Actions.left, -1, jnp.where(action == Actions.right, 1, 0)
+    )
+    new_dir = (state.agent_dir + turn) % 4
+
+    # --- front cell (minigrid_env.py:535-538) --------------------------
+    fwd, in_bounds, front_mask, fwd_cell = front_cell(params, state)
     ftype = fwd_cell[0].astype(jnp.int32)
     fcolor = fwd_cell[1]
     fstate = fwd_cell[2]

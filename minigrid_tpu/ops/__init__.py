@@ -1,11 +1,12 @@
-"""TPU kernel fast paths (Pallas).
+"""TPU fast-path ops.
 
-These kernels implement the same dynamics/observation math as the reference
-implementations in :mod:`minigrid_tpu.core`, fused so that batched rollouts
-keep the entire environment state resident in VMEM across many steps instead
-of round-tripping HBM once per step like a ``lax.scan`` body does.
+A Pallas fused-rollout kernel (state resident in VMEM across a whole rollout
+chunk) was prototyped here in round 1 but hit a Mosaic internal compiler
+error on real TPU hardware and never beat the XLA path, so it was removed:
+``jit(scan(vmap(step)))`` (bench.py) already keeps the hot loop on-device at
+>100M env-steps/s, because XLA fuses the branchless step/obs math into a few
+kernels on its own. If a hand-written kernel returns, it must prove a
+hardware win over bench.py first.
 """
 
-from minigrid_tpu.ops.fused_rollout import fused_rollout, supports_fused_rollout
-
-__all__ = ["fused_rollout", "supports_fused_rollout"]
+__all__: list[str] = []

@@ -21,6 +21,7 @@ from minigrid_tpu.core import constants as C
 from minigrid_tpu.core import mission as M
 from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.obs import gen_obs
+from minigrid_tpu.core.step import front_cell
 from minigrid_tpu.core.types import EnvState
 from minigrid_tpu.envs.base import autoreset_step
 from minigrid_tpu.render import get_frame
@@ -415,10 +416,10 @@ class NoDeath(Wrapper):
 
     def step(self, key, state, action):
         e_prev = _inner_env_state(state)
-        fwd = e_prev.agent_pos + jnp.asarray(C.DIR_TO_VEC)[e_prev.agent_dir]
-        fx = jnp.clip(fwd[0], 0, e_prev.grid.shape[0] - 1)
-        fy = jnp.clip(fwd[1], 0, e_prev.grid.shape[1] - 1)
-        ftype = e_prev.grid[fx, fy, 0].astype(jnp.int32)
+        # read the front cell through the core transition's own helper so
+        # this check can never drift from what step_core actually sees
+        _, _, _, fwd_cell = front_cell(self.env.params, e_prev)
+        ftype = fwd_cell[0].astype(jnp.int32)
         going_to_death = (
             (jnp.asarray(action) == Actions.forward)
             & (ftype != C.EMPTY)
