@@ -368,6 +368,9 @@ def add_distractors(b: Builder, layout: RoomLayout, key, i=None, j=None,
                     num_distractors: int = 10, all_unique: bool = True):
     """Scatter random objects (roomgrid.py:396-438). Returns
     (builder, kinds, colors, positions) arrays of length num_distractors."""
+    if num_distractors == 0:
+        return (b, jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.uint8),
+                jnp.zeros((0, 2), jnp.int32))
     kinds, colors, positions = [], [], []
     for n in range(num_distractors):
         key, k_combo, k_room, k_place = jax.random.split(key, 4)

@@ -24,6 +24,10 @@ class WFCConfig:
     loc_heuristic: str = "entropy"
     choice_heuristic: str = "weighted"
     backtracking: bool = False
+    # reference execute_wfc's global_constraint parameter
+    # (wfclogic/control.py:209-216); the only supported value is
+    # "allpatterns" (solver.py:410-419)
+    global_constraint: str | None = None
 
     @property
     def image(self) -> np.ndarray:

@@ -89,7 +89,11 @@ class WFCEnv(MiniGridEnv):
 
         pat_grid, ok = S.solve_with_retries(
             keys[0], self._adj, self._weights, inner,
-            self.config.output_periodic, self.max_attempts)
+            self.config.output_periodic, self.max_attempts,
+            loc_heuristic=self.config.loc_heuristic,
+            choice_heuristic=self.config.choice_heuristic,
+            backtracking=self.config.backtracking,
+            global_constraint=self.config.global_constraint)
         wall = self._is_wall[pat_grid]  # (H-2, W-2) [row, col]
 
         empty = ~wall

@@ -1,0 +1,156 @@
+"""Registry-wide conformance + determinism suite.
+
+The analog of the reference's registry-parameterized tests
+(``/root/reference/tests/test_envs.py:30-129,157-177``): every registered
+environment ID is constructed, reset, stepped, and checked against the
+observation/state invariants, same-seed determinism, and max_steps
+truncation exactness.
+
+Tiering: compiling 178 distinct reset/step programs is far more expensive
+than executing them once, so conformance runs **eagerly** (``jax.disable_jit``
+— the identical code path, no XLA compilation). Even so, BabyAI resets cost
+tens of seconds eagerly, and all 92 solvable BabyAI ids already get a much
+stronger end-to-end exercise from the bot oracle suite (tests/test_bot.py);
+conformance therefore splits into:
+
+- a default-tier sample over one cheap representative per family;
+- a ``nightly``-marked full sweep over every non-BabyAI id plus the 4
+  bot-excluded BabyAI ids — together with test_bot.py this exercises all
+  178 registered ids.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import minigrid_tpu
+from minigrid_tpu.core import constants as C
+from minigrid_tpu.core.mission import VOCAB_SIZE
+
+# the bot-oracle suite covers every other BabyAI id end-to-end
+BOT_EXCLUDED_BABYAI = [
+    "BabyAI-PutNextS5N2Carrying-v0",
+    "BabyAI-PutNextS6N3Carrying-v0",
+    "BabyAI-PutNextS7N4Carrying-v0",
+    "BabyAI-KeyInBox-v0",
+]
+
+FULL_SWEEP_IDS = [
+    i for i in minigrid_tpu.registered_ids() if not i.startswith("BabyAI")
+] + BOT_EXCLUDED_BABYAI
+
+# one cheap id per family for the default tier
+SAMPLE_IDS = [
+    "MiniGrid-Empty-6x6-v0",
+    "MiniGrid-DoorKey-6x6-v0",
+    "MiniGrid-Dynamic-Obstacles-5x5-v0",
+    "MiniGrid-Fetch-5x5-N2-v0",
+    "MiniGrid-GoToDoor-5x5-v0",
+    "MiniGrid-LavaGapS6-v0",
+    "MiniGrid-MemoryS7-v0",
+    "MiniGrid-MultiRoom-N2-S4-v0",
+    "MiniGrid-Unlock-v0",
+    "BabyAI-GoToRedBallNoDists-v0",
+]
+
+ACTION_CYCLE = [2, 0, 2, 1, 2, 3, 5, 4, 2, 6]
+
+
+def _check_obs(env, obs):
+    v = env.params.view_size
+    img = np.asarray(obs["image"])
+    assert img.shape == (v, v, 3), img.shape
+    assert img.dtype == np.uint8
+    assert img[..., 0].max() < C.NUM_OBJECTS
+    assert img[..., 1].max() < C.NUM_COLORS
+    assert img[..., 2].max() <= 3
+    assert 0 <= int(obs["direction"]) < 4
+    m = np.asarray(obs["mission"])
+    assert m.min() >= 0 and m.max() < VOCAB_SIZE
+
+
+def _tree_equal(a, b) -> bool:
+    la = jax.tree.leaves(a)
+    lb = jax.tree.leaves(b)
+    return len(la) == len(lb) and all(
+        np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb)
+    )
+
+
+def conform(env_id: str):
+    env = minigrid_tpu.make(env_id)
+    p = env.params
+    with jax.disable_jit():
+        key = jax.random.PRNGKey(7)
+        obs, st = env.reset(key)
+        _check_obs(env, obs)
+        assert st.grid.shape == (p.width, p.height, C.NUM_CHANNELS)
+        assert st.grid.dtype == jnp.uint8
+        ax, ay = np.asarray(st.agent_pos)
+        assert 0 <= ax < p.width and 0 <= ay < p.height
+        t = int(st.grid[ax, ay, 0])
+        assert t in (C.EMPTY, C.FLOOR, C.GOAL), (
+            f"agent placed on non-overlappable cell type {t}")
+        assert int(st.step_count) == 0
+        assert not bool(st.terminated) and not bool(st.truncated)
+
+        # same-seed determinism (reference test_envs.py:51-106)
+        obs2, st2 = env.reset(key)
+        assert _tree_equal(obs, obs2), f"{env_id}: reset not deterministic"
+        assert _tree_equal(
+            (st.grid, st.agent_pos, st.agent_dir, st.mission, st.carrying),
+            (st2.grid, st2.agent_pos, st2.agent_dir, st2.mission,
+             st2.carrying),
+        )
+
+        # step invariants + one-step determinism
+        for i, a in enumerate(ACTION_CYCLE[:8]):
+            sk = jax.random.PRNGKey(100 + i)
+            obs, new_st, r, te, tr, info = env.step(sk, st, a)
+            _check_obs(env, obs)
+            r = float(r)
+            assert np.isfinite(r)
+            if i == 0:
+                obs_b, st_b, r_b, te_b, tr_b, _ = env.step(sk, st, a)
+                assert _tree_equal(obs, obs_b) and r_b == r
+                assert bool(te_b) == bool(te) and bool(tr_b) == bool(tr)
+            st = new_st
+            if bool(te) | bool(tr):
+                break
+
+        # max_steps truncation exactness (reference test_envs.py:157-177)
+        st3 = st2.replace(step_count=jnp.asarray(p.max_steps - 1, jnp.int32))
+        _, st4, _, te, tr, _ = env.step(jax.random.PRNGKey(999), st3, 6)
+        assert bool(tr), f"{env_id}: no truncation at max_steps={p.max_steps}"
+
+
+@pytest.mark.parametrize("env_id", SAMPLE_IDS)
+def test_conformance_sample(env_id):
+    conform(env_id)
+
+
+@pytest.mark.nightly
+@pytest.mark.parametrize("env_id", sorted(set(FULL_SWEEP_IDS) - set(SAMPLE_IDS)))
+def test_conformance_full(env_id):
+    conform(env_id)
+
+
+def test_registry_id_set_matches_reference():
+    """Exact 178-id parity with the reference gymnasium registry."""
+    from tests.conftest import add_reference_to_path
+
+    add_reference_to_path()
+    import gymnasium as gym
+    import minigrid  # noqa: F401  (registers reference envs)
+
+    ref_ids = {
+        k for k, v in gym.envs.registry.items()
+        if str(getattr(v, "entry_point", "")).startswith("minigrid.envs")
+    }
+    ours = set(minigrid_tpu.registered_ids())
+    assert ours == ref_ids, (
+        f"missing={sorted(ref_ids - ours)[:5]} extra={sorted(ours - ref_ids)[:5]}"
+    )
