@@ -20,7 +20,11 @@ from minigrid_tpu.render import get_frame
 
 
 def benchmark(env_id: str, num_resets: int = 200, num_frames: int = 5000,
-              batch: int = 4096, chunk: int = 256):
+              batch: int = 4096, chunk: int = 256,
+              profile_dir: str | None = None):
+    """Run the metric suite; with ``profile_dir`` the batched-throughput
+    phase runs under ``jax.profiler.trace`` so the device timeline can be
+    inspected in xprof/TensorBoard (the SURVEY §5 profiling hook)."""
     env = minigrid_tpu.make(env_id)
 
     # reset latency (benchmark.py:16-21)
@@ -62,7 +66,13 @@ def benchmark(env_id: str, num_resets: int = 200, num_frames: int = 5000,
 
     agg = None
     try:
-        agg = batched_bench(env_id, batch=batch, chunk=chunk, repeats=3)
+        if profile_dir is not None:
+            with jax.profiler.trace(profile_dir):
+                agg = batched_bench(env_id, batch=batch, chunk=chunk,
+                                    repeats=3)
+            print(f"profiler trace written to {profile_dir}")
+        else:
+            agg = batched_bench(env_id, batch=batch, chunk=chunk, repeats=3)
     except Exception:
         pass
 
@@ -88,8 +98,12 @@ def main():
     parser.add_argument("--num-resets", type=int, default=200)
     parser.add_argument("--num-frames", type=int, default=5000)
     parser.add_argument("--batch", type=int, default=4096)
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the batched "
+                             "throughput phase to DIR (view with xprof)")
     args = parser.parse_args()
-    benchmark(args.env_id, args.num_resets, args.num_frames, args.batch)
+    benchmark(args.env_id, args.num_resets, args.num_frames, args.batch,
+              profile_dir=args.profile)
 
 
 if __name__ == "__main__":

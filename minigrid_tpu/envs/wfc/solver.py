@@ -243,6 +243,43 @@ def solve(key, adj, weights, out_shape, periodic: bool,
     return wave.argmax(0), ok
 
 
+def solve_with_stats(key, adj, weights, out_shape, periodic: bool,
+                     max_attempts: int = 64, log_path: str | None = None,
+                     **options):
+    """Host-side retry loop recording per-attempt timings and outcomes —
+    the analog of the reference's stats dict (wfclogic/control.py:262-284)
+    and TSV logger (make_log_stats, :45-61). Use this instrumented variant
+    for profiling; the jittable :func:`solve_with_retries` is the
+    production path.
+
+    Returns (pattern grid, ok, stats) where stats is a list of
+    {"attempt", "time", "success"} dicts.
+    """
+    import time
+
+    attempt = jax.jit(
+        lambda k: solve(k, adj, weights, out_shape, periodic, **options))
+    stats = []
+    grid, ok = None, False
+    for n in range(max_attempts):
+        t0 = time.perf_counter()
+        grid, ok_a = attempt(jax.random.fold_in(key, n))
+        ok = bool(ok_a)
+        stats.append({
+            "attempt": n,
+            "time": time.perf_counter() - t0,
+            "success": ok,
+        })
+        if ok:
+            break
+    if log_path is not None:
+        with open(log_path, "w") as f:
+            f.write("attempt\ttime\tsuccess\n")
+            for s in stats:
+                f.write(f"{s['attempt']}\t{s['time']:.6f}\t{s['success']}\n")
+    return grid, ok, stats
+
+
 def solve_with_retries(key, adj, weights, out_shape, periodic: bool,
                        max_attempts: int = 64, **options):
     """Retry attempts with fresh keys until consistent

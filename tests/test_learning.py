@@ -1,0 +1,56 @@
+"""PPO learning-curve smokes: proof the training stack actually learns,
+not merely compiles (the reference ships no training code; this guards the
+stack that replaces its external rl-starter-files pointer).
+
+Empty-5x5 runs in the default tier (~25s on CPU: reward rises ~25x in 30
+updates); DoorKey-5x5 — a harder credit-assignment task — runs nightly.
+"""
+
+from __future__ import annotations
+
+import jax
+import pytest
+
+import minigrid_tpu
+from minigrid_tpu.models.actor_critic import ActorCritic, init_params
+from minigrid_tpu.models.ppo import PPOConfig, make_optimizer, make_train_step
+
+
+def run_ppo(env_id: str, updates: int, num_envs: int = 128,
+            ent_coef: float = 0.01) -> list[float]:
+    env = minigrid_tpu.make(env_id)
+    cfg = PPOConfig(num_envs=num_envs, rollout_len=64, num_epochs=2,
+                    num_minibatches=4, lr=1e-3, ent_coef=ent_coef)
+    model = ActorCritic(hidden=64)
+    opt = make_optimizer(cfg)
+    params = init_params(jax.random.PRNGKey(0),
+                         view_size=env.params.view_size, model=model)
+    opt_state = opt.init(params)
+    obs, st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(1), cfg.num_envs))
+    train_step = jax.jit(make_train_step(env, model, cfg, opt),
+                         donate_argnums=(0, 1, 2, 3))
+    key = jax.random.PRNGKey(2)
+    rewards = []
+    for _ in range(updates):
+        params, opt_state, st, obs, key, m = train_step(
+            params, opt_state, st, obs, key)
+        rewards.append(float(m["mean_reward"]))
+    return rewards
+
+
+def test_ppo_learns_empty():
+    r = run_ppo("MiniGrid-Empty-5x5-v0", updates=30)
+    first, last = sum(r[:5]) / 5, sum(r[-5:]) / 5
+    assert last > 0.10, f"final reward {last:.4f} too low: {r}"
+    assert last > 5 * max(first, 1e-4), (
+        f"no learning: first5={first:.4f} last5={last:.4f}")
+
+
+@pytest.mark.nightly
+def test_ppo_learns_doorkey():
+    r = run_ppo("MiniGrid-DoorKey-5x5-v0", updates=120, num_envs=256,
+                ent_coef=0.02)
+    first, last = sum(r[:10]) / 10, sum(r[-10:]) / 10
+    assert last > max(3 * first, 0.05), (
+        f"no learning on DoorKey: first10={first:.4f} last10={last:.4f}")

@@ -155,6 +155,19 @@ def test_all_presets_solve():
     assert len(failed) <= 4, failed
 
 
+def test_solve_with_stats(tmp_path):
+    """The instrumented retry loop records per-attempt stats and the TSV
+    log (reference control.py:262-284 / make_log_stats :45-61)."""
+    adj, w, out = _fixture_problem((8, 8))
+    log = tmp_path / "wfc_stats.tsv"
+    grid, ok, stats = S.solve_with_stats(
+        jax.random.PRNGKey(2), adj, w, out, False, 16, log_path=str(log))
+    assert bool(ok)
+    assert stats[-1]["success"] and all(s["time"] > 0 for s in stats)
+    lines = log.read_text().strip().split("\n")
+    assert lines[0] == "attempt\ttime\tsuccess" and len(lines) == len(stats) + 1
+
+
 def test_solver_rejects_unknown_options():
     adj, w, out = _fixture_problem()
     with pytest.raises(ValueError):
