@@ -28,7 +28,7 @@ import minigrid_tpu
 REFERENCE_DOORKEY_STEPS_PER_S = 8300.0  # BASELINE.md, 1 CPU core
 
 
-def build(env_id: str, batch: int, chunk: int, unroll: int = 4):
+def build(env_id: str, batch: int, chunk: int, unroll: int = 8):
     env = minigrid_tpu.make(env_id)
     reset = jax.jit(jax.vmap(env.reset))
     step = jax.vmap(env.step)

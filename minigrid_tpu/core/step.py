@@ -53,13 +53,16 @@ def front_cell(params: EnvParams, state: EnvState):
     ys = jax.lax.broadcasted_iota(jnp.int32, (W, H), 1)
     front_mask = (xs == fwd[0]) & (ys == fwd[1])  # all-false when OOB
     packed_grid = G.pack_cells(state.grid)
-    fwd_cell = G.unpack_cells(
-        jnp.where(
-            in_bounds,
-            jnp.sum(jnp.where(front_mask, packed_grid, 0)),
-            G.WALL_PACKED,
-        )
-    )
+    # statically unrolled two-stage select-accumulate instead of a full
+    # (W, H) masked-sum reduction: reductions break XLA fusion and force an
+    # HBM round-trip per scan step (see core/obs.py docstring)
+    row = jnp.zeros((H,), jnp.int32)
+    for x in range(W):
+        row = row + jnp.where(fwd[0] == x, packed_grid[x], 0)
+    val = jnp.zeros((), jnp.int32)
+    for y in range(H):
+        val = val + jnp.where(fwd[1] == y, row[y], 0)
+    fwd_cell = G.unpack_cells(jnp.where(in_bounds, val, G.WALL_PACKED))
     return fwd, in_bounds, front_mask, fwd_cell
 
 

@@ -69,8 +69,13 @@ def process_vis(transparent: jax.Array, agent_x: int) -> jax.Array:
     """
     V = transparent.shape[0]
     full = (1 << V) - 1
-    weights = (1 << jnp.arange(V, dtype=jnp.int32))[:, None]
-    tcols = jnp.sum(transparent.astype(jnp.int32) * weights, axis=0)  # (V,)
+    # bit-pack each row into one int32; statically unrolled shift-or chain
+    # (a masked-sum reduction here would split the fused step kernel —
+    # see core/obs.py docstring)
+    ti = transparent.astype(jnp.int32)
+    tcols = ti[0]
+    for x in range(1, V):
+        tcols = tcols | (ti[x] << x)  # (V,)
 
     seed = jnp.int32(1 << agent_x)
     # rows j = V-1 .. 0; V is small and static, so the recurrence unrolls

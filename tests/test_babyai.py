@@ -41,7 +41,8 @@ BABYAI_IDS = [
 
 
 @pytest.mark.parametrize("env_id", BABYAI_IDS)
-@pytest.mark.parametrize("seed", [0, 5])
+@pytest.mark.parametrize(
+    "seed", [0, pytest.param(5, marks=pytest.mark.nightly)])
 def test_random_lockstep(env_id, seed):
     """Random interaction-heavy rollouts on reference layouts."""
     rng = np.random.default_rng(seed)
@@ -66,7 +67,8 @@ def test_random_lockstep(env_id, seed):
     "BabyAI-MiniBossLevel-v0",
     "BabyAI-BossLevel-v0",
 ])
-@pytest.mark.parametrize("seed", [1, 4])
+@pytest.mark.parametrize(
+    "seed", [1, pytest.param(4, marks=pytest.mark.nightly)])
 def test_bot_solution_lockstep(env_id, seed):
     """Replay the reference oracle bot's solving trajectory through both
     simulators — terminating success (with reward) must match exactly."""

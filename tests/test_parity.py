@@ -47,6 +47,10 @@ IMPLEMENTED_IDS = [
 
 
 @pytest.mark.parametrize("env_id", IMPLEMENTED_IDS)
-@pytest.mark.parametrize("seed", [0, 1, 7])
+@pytest.mark.parametrize("seed", [
+    0,
+    pytest.param(1, marks=pytest.mark.nightly),
+    pytest.param(7, marks=pytest.mark.nightly),
+])
 def test_lockstep_parity(env_id, seed):
     run_parity_rollout(env_id, seed, n_steps=80)

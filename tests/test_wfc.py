@@ -73,7 +73,11 @@ def _fixture_problem(out=(12, 12)):
     return jnp.asarray(adj), jnp.asarray(w), out
 
 
-@pytest.mark.parametrize("loc", list(S.LOC_HEURISTICS))
+@pytest.mark.parametrize("loc", [
+    loc if loc in ("entropy", "spiral")
+    else pytest.param(loc, marks=pytest.mark.nightly)
+    for loc in S.LOC_HEURISTICS
+])
 def test_solver_location_heuristics(loc):
     """Every location heuristic solves the fixture (anti-entropy is
     contradiction-prone by design, hence retries) and actually changes the
@@ -125,6 +129,7 @@ def test_solver_backtracking_and_allpatterns():
     assert len(used) == adj.shape[1], "allpatterns must force full coverage"
 
 
+@pytest.mark.nightly
 def test_all_presets_solve():
     """Every embedded preset catalog builds and solves a small output grid
     (the reference registers 6 presets but ships 22,
