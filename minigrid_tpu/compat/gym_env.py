@@ -42,8 +42,7 @@ class GymnasiumAdapter(gym.Env):
         self.observation_space = spaces.Dict({
             "image": image_space,
             "direction": spaces.Discrete(4),
-            "mission": MissionSpace(
-                mission_func=lambda m=self.env.default_mission(): m),
+            "mission": self.env.mission_space(),
         })
         self.reward_range = (0, 1)
 

@@ -137,3 +137,16 @@ class MissionSpace(_Base):
 
     def __repr__(self) -> str:
         return f"MissionSpace({self.mission_func}, {self.ordered_placeholders})"
+
+
+class BabyAIMissionSpace(MissionSpace):
+    """Catch-all mission space for the combinatorial BabyAI instruction
+    grammar (reference envs/babyai/core/roomgrid_level.py:27-43): missions
+    are generated by the level sampler, not enumerable placeholders, so
+    ``contains`` accepts any string."""
+
+    def __init__(self):
+        super().__init__(mission_func=lambda: "go")
+
+    def contains(self, x) -> bool:
+        return isinstance(x, str)

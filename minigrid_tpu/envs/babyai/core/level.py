@@ -164,6 +164,14 @@ class RoomGridLevel(RoomGridEnv):
     def default_mission(self) -> str:
         return "go"
 
+    def mission_space(self):
+        """Catch-all (reference BabyAIMissionSpace,
+        roomgrid_level.py:27-43): instructions come from the combinatorial
+        grammar, not enumerable placeholders."""
+        from minigrid_tpu.core.mission_space import BabyAIMissionSpace
+
+        return BabyAIMissionSpace()
+
     # Subclasses: (builder, spec, ok) = gen_mission(key, builder)
     def gen_mission(self, key, b: RG.Builder):
         raise NotImplementedError

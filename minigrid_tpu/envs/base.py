@@ -67,6 +67,14 @@ class MiniGridEnv:
     def mission_tokens(self) -> jnp.ndarray:
         return jnp.asarray(tokenize(self.default_mission()))
 
+    def mission_space(self):
+        """The Gymnasium mission space (the reference passes one to every
+        env constructor, e.g. minigrid/envs/doorkey.py:65); envs with
+        placeholder missions override with their template space."""
+        from minigrid_tpu.core.mission_space import MissionSpace
+
+        return MissionSpace(mission_func=lambda m=self.default_mission(): m)
+
     def mission_text(self, state_or_tokens) -> str:
         from minigrid_tpu.core.mission import detokenize
 

@@ -12,6 +12,7 @@ from minigrid_tpu.core import place
 from minigrid_tpu.core.mission import mission_table
 from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import EnvParams, pack_cell
+from minigrid_tpu.core.mission_space import MissionSpace
 from minigrid_tpu.envs.base import MiniGridEnv
 
 OBJ_TYPES = [C.KEY, C.BALL]
@@ -28,6 +29,14 @@ MISSIONS = mission_table([
 
 class FetchEnv(MiniGridEnv):
     name = "Fetch"
+
+    def mission_space(self):
+        """Reference fetch.py:77-88."""
+        return MissionSpace(
+            mission_func=lambda syntax, color, obj_type:
+                f"{syntax} {color} {obj_type}",
+            ordered_placeholders=[SYNTAXES, C.COLOR_NAMES, TYPE_NAMES],
+        )
 
     def __init__(self, size=8, numObjs=3, max_steps=None, **kw):
         if max_steps is None:

@@ -12,6 +12,7 @@ from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.mission import mission_table
 from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import EnvParams, pack_cell
+from minigrid_tpu.core.mission_space import MissionSpace
 from minigrid_tpu.envs.base import MiniGridEnv
 
 MISSIONS = mission_table([
@@ -21,6 +22,13 @@ MISSIONS = mission_table([
 
 class GoToDoorEnv(MiniGridEnv):
     name = "GoToDoor"
+
+    def mission_space(self):
+        """Reference gotodoor.py:69-72."""
+        return MissionSpace(
+            mission_func=lambda color: f"go to the {color} door",
+            ordered_placeholders=[C.COLOR_NAMES],
+        )
 
     def __init__(self, size=5, max_steps=None, **kw):
         assert size >= 5

@@ -12,6 +12,7 @@ from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.mission import mission_table
 from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import EnvParams, pack_cell
+from minigrid_tpu.core.mission_space import MissionSpace
 from minigrid_tpu.envs.base import MiniGridEnv
 
 TYPE_IDS = jnp.asarray([C.KEY, C.BALL, C.BOX], jnp.uint8)
@@ -35,6 +36,14 @@ def sample_distinct_type_colors(key, n, num_types=3):
 
 class GoToObjectEnv(MiniGridEnv):
     name = "GoToObject"
+
+    def mission_space(self):
+        """Reference gotoobject.py:72-75."""
+        return MissionSpace(
+            mission_func=lambda color, obj_type:
+                f"go to the {color} {obj_type}",
+            ordered_placeholders=[C.COLOR_NAMES, TYPE_NAMES],
+        )
 
     def __init__(self, size=6, numObjs=2, max_steps=None, **kw):
         if max_steps is None:

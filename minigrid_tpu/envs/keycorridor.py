@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from minigrid_tpu.core import constants as C
 from minigrid_tpu.core import roomgrid as RG
 from minigrid_tpu.core.mission import mission_table
+from minigrid_tpu.core.mission_space import MissionSpace
 from minigrid_tpu.envs.roomgrid_base import PickupTargetMixin, RoomGridEnv
 
 MISSIONS = {
@@ -19,6 +20,14 @@ KIND_OF = {"key": 0, "ball": 1, "box": 2}
 
 class KeyCorridorEnv(PickupTargetMixin, RoomGridEnv):
     name = "KeyCorridor"
+
+    def mission_space(self):
+        """Reference keycorridor.py:83-86."""
+        return MissionSpace(
+            mission_func=lambda color, obj_type:
+                f"pick up the {color} {obj_type}",
+            ordered_placeholders=[C.COLOR_NAMES, [self.obj_type]],
+        )
 
     def __init__(self, num_rows=3, obj_type="ball", room_size=6,
                  max_steps=None, **kw):

@@ -11,6 +11,7 @@ from minigrid_tpu.core import place
 from minigrid_tpu.core.mission import mission_table
 from minigrid_tpu.core.types import EnvParams, pack_cell
 from minigrid_tpu.envs import common as X
+from minigrid_tpu.core.mission_space import MissionSpace
 from minigrid_tpu.envs.base import MiniGridEnv
 
 # mission indexed by (locked room color, key room color): locked color is
@@ -26,6 +27,15 @@ class LockedRoomEnv(MiniGridEnv):
     """Six rooms off a central hallway; one locked room holds the goal."""
 
     name = "LockedRoom"
+
+    def mission_space(self):
+        """Reference lockedroom.py:83-86."""
+        return MissionSpace(
+            mission_func=lambda lock_color, keyroom_color, door_color: (
+                f"get the {lock_color} key from the {keyroom_color} room, "
+                f"unlock the {door_color} door and go to the goal"),
+            ordered_placeholders=[C.COLOR_NAMES] * 3,
+        )
 
     def __init__(self, size=19, max_steps=None, **kw):
         if max_steps is None:

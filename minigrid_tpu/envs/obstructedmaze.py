@@ -17,6 +17,7 @@ from minigrid_tpu.core import grid as G
 from minigrid_tpu.core import roomgrid as RG
 from minigrid_tpu.core.mission import tokenize
 from minigrid_tpu.core.types import pack_cell
+from minigrid_tpu.core.mission_space import MissionSpace
 from minigrid_tpu.envs.roomgrid_base import PickupTargetMixin, RoomGridEnv
 
 # COLOR_NAMES[0..2] = blue, green, grey (obstructedmaze.py:114-120)
@@ -30,6 +31,13 @@ CORNERS = [(2, 0), (2, 2), (0, 2), (0, 0)]
 
 class ObstructedMazeEnv(PickupTargetMixin, RoomGridEnv):
     name = "ObstructedMaze"
+
+    def mission_space(self):
+        """Reference obstructedmaze.py:93-96."""
+        return MissionSpace(
+            mission_func=lambda color: f"pick up the {color} ball",
+            ordered_placeholders=[[C.COLOR_NAMES[0]]],
+        )
 
     def __init__(self, num_rows, num_cols, num_rooms_visited, max_steps=None, **kw):
         room_size = 6

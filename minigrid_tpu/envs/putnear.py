@@ -12,6 +12,7 @@ from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.mission import mission_table
 from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import EnvParams, pack_cell
+from minigrid_tpu.core.mission_space import MissionSpace
 from minigrid_tpu.envs.base import MiniGridEnv
 from minigrid_tpu.envs.gotoobject import TYPE_IDS, TYPE_NAMES, sample_distinct_type_colors
 
@@ -25,6 +26,15 @@ MISSIONS = mission_table([
 
 class PutNearEnv(MiniGridEnv):
     name = "PutNear"
+
+    def mission_space(self):
+        """Reference putnear.py:73-80."""
+        return MissionSpace(
+            mission_func=lambda mc, mt, tc, tt:
+                f"put the {mc} {mt} near the {tc} {tt}",
+            ordered_placeholders=[C.COLOR_NAMES, TYPE_NAMES,
+                                  C.COLOR_NAMES, TYPE_NAMES],
+        )
 
     def __init__(self, size=6, numObjs=2, max_steps=None, **kw):
         if max_steps is None:

@@ -13,6 +13,7 @@ from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.mission import mission_table, tokenize
 from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import pack_cell
+from minigrid_tpu.core.mission_space import MissionSpace
 from minigrid_tpu.envs.roomgrid_base import PickupTargetMixin, RoomGridEnv
 
 BOX_MISSIONS = mission_table(
@@ -59,6 +60,13 @@ class UnlockPickupEnv(PickupTargetMixin, RoomGridEnv):
 
     name = "UnlockPickup"
 
+    def mission_space(self):
+        """Reference unlockpickup.py:61-64."""
+        return MissionSpace(
+            mission_func=lambda color: f"pick up the {color} box",
+            ordered_placeholders=[C.COLOR_NAMES],
+        )
+
     def __init__(self, max_steps=None, **kw):
         room_size = 6
         if max_steps is None:
@@ -87,6 +95,14 @@ class BlockedUnlockPickupEnv(PickupTargetMixin, RoomGridEnv):
     (blockedunlockpickup.py:66-115)."""
 
     name = "BlockedUnlockPickup"
+
+    def mission_space(self):
+        """Reference blockedunlockpickup.py:67-70."""
+        return MissionSpace(
+            mission_func=lambda color, obj_type:
+                f"pick up the {color} {obj_type}",
+            ordered_placeholders=[C.COLOR_NAMES, ["box", "key"]],
+        )
 
     def __init__(self, max_steps=None, **kw):
         room_size = 6

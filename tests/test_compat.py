@@ -1,0 +1,107 @@
+"""Gymnasium-adapter conformance: the drop-in class API must satisfy the
+same contract the reference's envs do (the reference runs gymnasium's
+``check_env`` over the whole registry, tests/test_envs.py:30-42; here the
+adapter is the surface under test — its backend correctness is pinned by
+the parity suites)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from minigrid_tpu.compat.gym_env import gym_make
+
+IDS = [
+    "MiniGrid-Empty-8x8-v0",
+    "MiniGrid-DoorKey-5x5-v0",
+    "MiniGrid-Fetch-5x5-N2-v0",
+    "MiniGrid-PutNear-6x6-N2-v0",
+    "MiniGrid-LockedRoom-v0",
+    "BabyAI-GoToRedBallGrey-v0",
+]
+
+
+@pytest.mark.parametrize("env_id", IDS)
+def test_check_env(env_id):
+    from gymnasium.utils.env_checker import check_env
+
+    env = gym_make(env_id)
+    # the reference allowlists gymnasium's render-mode advisory warnings
+    # (tests/test_envs.py:30-42); everything else must be clean
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message=".*render.*")
+        warnings.filterwarnings("ignore", message=".*Official support.*")
+        check_env(env, skip_render_check=True)
+    env.close()
+
+
+def test_reset_seed_determinism_and_step_types():
+    env = gym_make("MiniGrid-DoorKey-5x5-v0")
+    obs1, info = env.reset(seed=42)
+    h1 = env.hash()
+    obs2, _ = env.reset(seed=42)
+    assert env.hash() == h1
+    assert np.array_equal(obs1["image"], obs2["image"])
+    assert obs1["image"].dtype == np.uint8 and obs1["image"].shape == (7, 7, 3)
+    assert isinstance(obs1["mission"], str)
+    assert obs1["mission"] in env.observation_space["mission"]
+
+    obs, reward, term, trunc, info = env.step(2)
+    assert isinstance(reward, float) and isinstance(term, bool) \
+        and isinstance(trunc, bool)
+    assert env.step_count == 1
+    assert env.steps_remaining == env.max_steps - 1
+    # unseeded resets draw from np_random (different layouts over draws)
+    hashes = set()
+    for _ in range(4):
+        env.reset()
+        hashes.add(env.hash())
+    assert len(hashes) > 1
+
+
+def test_introspection_properties():
+    env = gym_make("MiniGrid-DoorKey-5x5-v0")
+    env.reset(seed=3)
+    assert env.width == env.height == 5
+    x, y = env.agent_pos
+    assert 0 <= x < 5 and 0 <= y < 5
+    assert 0 <= env.agent_dir < 4
+    assert env.carrying is None
+    enc = env.encode_grid()
+    assert enc.shape == (5, 5, 3) and enc.dtype == np.uint8
+    frame = env.get_frame(tile_size=8)
+    assert frame.shape == (40, 40, 3) and frame.dtype == np.uint8
+
+
+def test_manual_control_key_handler():
+    """Drive ManualControl with fake keyboard events (the reference's
+    pytest-mock pattern, tests/test_scripts.py:18-49) — no pygame window."""
+    from minigrid_tpu.manual_control import ManualControl
+
+    class FakeEvent:
+        def __init__(self, key):
+            self.key = key
+
+    env = gym_make("MiniGrid-Empty-5x5-v0", render_mode="rgb_array")
+    mc = ManualControl(env, seed=0)
+    mc.reset(0)
+    start = env.hash()
+    for key in ["left", "right", "up", "space", "pageup", "pagedown",
+                "tab", "left shift", "enter"]:
+        mc.key_handler(FakeEvent(key))
+    assert env.step_count > 0 or env.hash() != start
+    mc.key_handler(FakeEvent("backspace"))  # reset
+    assert env.step_count == 0
+    mc.key_handler(FakeEvent("escape"))
+    assert mc.closed
+
+
+def test_rgb_array_render():
+    env = gym_make("MiniGrid-Empty-5x5-v0", render_mode="rgb_array",
+                   tile_size=8)
+    env.reset(seed=0)
+    img = env.render()
+    assert img.shape == (40, 40, 3) and img.dtype == np.uint8
+    env.close()

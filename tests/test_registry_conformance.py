@@ -97,6 +97,11 @@ def conform(env_id: str):
         assert int(st.step_count) == 0
         assert not bool(st.terminated) and not bool(st.truncated)
 
+        # realized mission must lie in the env's declared mission space
+        # (reference check_env obs-space containment, test_envs.py:30-42)
+        assert env.mission_space().contains(env.mission_text(st)), (
+            f"{env_id}: mission {env.mission_text(st)!r} outside space")
+
         # same-seed determinism (reference test_envs.py:51-106)
         obs2, st2 = env.reset(key)
         assert _tree_equal(obs, obs2), f"{env_id}: reset not deterministic"
