@@ -51,8 +51,10 @@ def test_missions_detokenize_across_levels():
     ids = ["BabyAI-MiniBossLevel-v0", "BabyAI-PickupLoc-v0"]
     for env_id in ids:
         env = minigrid_tpu.make(env_id)
+        # batch 8 + key 0 shares the compiled program with
+        # test_dynamic_max_steps_scales (identical HLO -> one compile)
         _, states = jax.jit(jax.vmap(env.reset))(
-            jax.random.split(jax.random.PRNGKey(3), 4))
+            jax.random.split(jax.random.PRNGKey(0), 8))
         for b in range(4):
             text = detokenize(np.asarray(states.mission[b]))
             assert len(text.split()) >= 3, f"{env_id}: {text!r}"
