@@ -57,8 +57,18 @@ class MissionSpace(_Base):
         ``segments[0] + <slot_0> + segments[1] + <slot_1> + ...`` and
         ``slot_args[j]`` is the ``ordered_placeholders`` index bound by
         slot ``j`` (an argument may appear multiple times or not at all).
-        Returns ``None`` when the function does not pass sentinels through
-        verbatim (e.g. it post-processes its arguments)."""
+        Returns ``None`` when the function does not pass its arguments
+        through verbatim — it raises on the sentinels, or it branches /
+        post-processes so that substituting real candidates into the
+        sentinel-derived template does not reproduce its output — in which
+        case ``contains`` falls back to exhausting the candidate product.
+        The result is cached: it depends only on constructor arguments."""
+        if hasattr(self, "_template_cache"):
+            return self._template_cache
+        self._template_cache = self._compute_template()
+        return self._template_cache
+
+    def _compute_template(self):
         n = len(self.ordered_placeholders)
         sentinels = [f"\x00{i}\x00" for i in range(n)]
         try:
@@ -75,11 +85,26 @@ class MissionSpace(_Base):
             ]
             if not hits:
                 segments.append(template[pos:])
-                return segments, slot_args
+                break
             at, arg = min(hits)
             segments.append(template[pos:at])
             slot_args.append(arg)
             pos = at + len(sentinels[arg])
+
+        # self-check against realizations: a mission_func that branches on
+        # its argument values produces sentinel output that does not
+        # describe the real realizations
+        for pick in (0, -1):
+            args = [c[pick] for c in self.ordered_placeholders]
+            rebuilt = segments[0]
+            for j, arg in enumerate(slot_args):
+                rebuilt += args[arg] + segments[j + 1]
+            try:
+                if self.mission_func(*args) != rebuilt:
+                    return None
+            except Exception:
+                return None
+        return segments, slot_args
 
     def contains(self, x) -> bool:
         """Reverse-parse ``x`` against the placeholder lists — the analog of

@@ -187,11 +187,6 @@ def solve(key, adj, weights, out_shape, periodic: bool,
     max_iters = (4 if backtracking else 1) * (H * W + 1)
 
     wave0 = jnp.ones((P, H, W), bool)
-    carry0 = (wave0, jnp.int32(RUN), jnp.int32(0), key)
-
-    def cond(carry):
-        _, status, it, _ = carry
-        return (status == RUN) & (it < max_iters)
 
     def body(carry):
         wave, status, it, key = carry
@@ -206,9 +201,17 @@ def solve(key, adj, weights, out_shape, periodic: bool,
         else:
             feasible = jnp.ones((), bool)
 
-        # --- pre-observe propagate; its contradiction is fatal even when
-        # backtracking (raised outside the try in solve_next, :87-89) ----
-        wave_p, contra_top = propagate(wave, adj, periodic)
+        if backtracking:
+            # pre-observe propagate: after an undo+ban the wave is no
+            # longer a fixpoint; its contradiction is fatal even when
+            # backtracking (raised outside the try in solve_next, :87-89)
+            wave_p, contra_top = propagate(wave, adj, periodic)
+        else:
+            # without backtracking the carried wave is always the fixpoint
+            # output of the previous iteration's post-collapse propagate
+            # (or of the pre-loop propagate), so the reference's
+            # pre-observe sweep would discover nothing
+            wave_p, contra_top = wave, jnp.zeros((), bool)
 
         # --- observe (solver.py:487-496) --------------------------------
         loc = _choose_location(wave_p, loc_heuristic, noise, loc_order)
@@ -237,6 +240,18 @@ def solve(key, adj, weights, out_shape, periodic: bool,
         # keep the original wave on exit paths so argmax stays meaningful
         out_wave = jnp.where(new_status == RUN, next_wave, wave)
         return out_wave, new_status, it + 1, key
+
+    def cond(carry):
+        _, status, it, _ = carry
+        return (status == RUN) & (it < max_iters)
+
+    if backtracking:
+        carry0 = (wave0, jnp.int32(RUN), jnp.int32(0), key)
+    else:
+        # establish the fixpoint invariant the loop body relies on
+        wave0, contra0 = propagate(wave0, adj, periodic)
+        carry0 = (wave0, jnp.where(contra0, CONTRA, RUN).astype(jnp.int32),
+                  jnp.int32(0), key)
 
     wave, status, _, _ = jax.lax.while_loop(cond, body, carry0)
     ok = status == SOLVED

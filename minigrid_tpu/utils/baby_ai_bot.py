@@ -245,9 +245,10 @@ class BabyAIBot:
             return self._go_adjacent(s, keys, then=Actions.pickup,
                                      allow_unblock=True, _depth=_depth,
                                      require_free_hands=True)
-        if (~s.seen).any():
-            return None  # unexplored map: look for the key first
-        # fully explored and no key on the floor: search inside boxes
+        if self._exploration_possible(s):
+            return None  # reachable unexplored map: look for the key first
+        # exploration exhausted (remaining unseen cells, if any, sit behind
+        # locked doors) and no key on the floor: search inside boxes
         # (contents are unobservable; opening reveals them)
         boxes = (s.types == C.BOX) & s.seen
         if boxes.any():
@@ -258,6 +259,30 @@ class BabyAIBot:
             return self._go_adjacent(s, boxes, then=Actions.toggle,
                                      _depth=_depth)
         return None
+
+    def _exploration_possible(self, s):
+        """True while exploring (without new keys) can still reveal cells:
+        an unseen cell borders a cell the agent can actually traverse, or
+        a traversable CLOSED (unlocked) door may hide one. When only locked
+        doors remain, key search must move on to boxes (prevents the
+        hidden-key deadlock where the locked room itself holds every
+        unseen cell). BFS marks door/object cells it cannot expand
+        through, so reach is intersected with true passability."""
+        dist = self._bfs(s, allow_unblock=True)
+        reach = (dist >= 0) & self._passable(s, allow_unblock=True)
+        reach[tuple(s.agent_pos)] = True
+        unseen = ~s.seen
+        W, H = unseen.shape
+        near_reach = np.zeros_like(reach)
+        for d in DIRS:
+            xs, ys = np.nonzero(reach)
+            nx, ny = xs + d[0], ys + d[1]
+            ok = (nx >= 0) & (nx < W) & (ny >= 0) & (ny < H)
+            near_reach[nx[ok], ny[ok]] = True
+        if (near_reach & unseen).any():
+            return True
+        closed = (s.types == C.DOOR) & (s.types_state == C.CLOSED) & s.seen
+        return bool((closed & near_reach).any())
 
     def _door_blocker(self, s, door_pos):
         """A carryable object directly in front of the door on the agent's
