@@ -104,6 +104,25 @@ def test_rollout_driver_sharded():
     assert int(states.step_count.max()) <= env.params.max_steps
 
 
+def test_sharded_ppo_train_step():
+    """The full dp x tp sharded PPO train step compiles and runs on the
+    8-device mesh (the driver's dryrun contract, kept green in CI)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_weak_scaling_curve_runs():
+    """The scaling harness executes at several mesh sizes and reports
+    positive throughput (tiny shapes; real numbers live in RESULTS.md)."""
+    import __graft_entry__ as g
+
+    r = g.scaling_curve(device_counts=(1, 2), envs_per_device=16,
+                        rollout_len=8, repeats=1)
+    assert set(r) == {1, 2}
+    assert all(v > 0 for v in r.values())
+
+
 def test_pprint_and_agent_sees_match_reference():
     """Introspection helpers vs the reference implementations."""
     from tests.ref_oracle import make_reference, state_from_reference
