@@ -80,3 +80,20 @@ def test_bot_solves(env_id):
 @pytest.mark.parametrize("env_id", sorted(set(ALL_LEVELS) - set(FAST_LEVELS)))
 def test_bot_solves_full_catalog(env_id):
     solve_with_bot(env_id)
+
+
+def test_demo_generation():
+    """Bot demonstrations: successful, verifier-approved, replayable."""
+    from minigrid_tpu.utils.demos import generate_demos
+
+    env = minigrid_tpu.make("BabyAI-GoToRedBallGrey-v0")
+    demos = generate_demos(env, num_episodes=3, max_steps=240)
+    assert demos.image.shape[0] == 3 and demos.mask.any(1).all()
+    assert (demos.length >= 1).all()
+    # replaying a demo's actions from its seed reproduces success
+    step = jax.jit(env.step)
+    _, state = jax.jit(env.reset)(jax.random.PRNGKey(int(demos.seed[0])))
+    for t in range(int(demos.length[0])):
+        _, state, r, te, tr, _ = step(
+            jax.random.PRNGKey(t), state, int(demos.action[0, t]))
+    assert bool(te) and float(r) > 0
