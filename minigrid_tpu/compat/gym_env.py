@@ -44,7 +44,7 @@ class GymnasiumAdapter(gym.Env):
             "direction": spaces.Discrete(4),
             "mission": self.env.mission_space(),
         })
-        self.reward_range = (0, 1)
+        self.reward_range = getattr(self.env, "reward_range", (0, 1))
 
         self.render_mode = render_mode
         self.screen_size = screen_size

@@ -47,6 +47,7 @@ class MiniGridEnv:
     data lives in the :class:`EnvState` pytree."""
 
     name: str = "MiniGridEnv"
+    reward_range = (0, 1)  # minigrid_env.py:61; DynamicObstacles overrides
 
     def __init__(self, params: EnvParams):
         self.params = params

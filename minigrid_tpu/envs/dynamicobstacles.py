@@ -42,6 +42,8 @@ class DynamicObstaclesEnv(MiniGridEnv):
     def num_actions(self) -> int:
         return 3  # left/right/forward only (reference :104)
 
+    reward_range = (-1, 1)  # collision penalty (reference :105)
+
     def _gen_grid(self, key):
         p = self.params
         keys = jax.random.split(key, self.n_obstacles + 2)

@@ -143,6 +143,42 @@ def test_conformance_full(env_id):
     conform(env_id)
 
 
+def test_registry_params_match_reference():
+    """Every id's static geometry/config equals the reference env's —
+    width, height, view size, see_through_walls, and (where the reference
+    fixes it at construction) max_steps. Catches wrong registry kwargs
+    that the id-set comparison cannot see. Construction only (no resets),
+    so all 178 ids cost seconds."""
+    from tests.conftest import add_reference_to_path
+
+    add_reference_to_path()
+    import gymnasium as gym
+    import minigrid  # noqa: F401
+
+    mismatches = []
+    for env_id in sorted(minigrid_tpu.registered_ids()):
+        ref = gym.make(env_id, disable_env_checker=True).unwrapped
+        ours = minigrid_tpu.make(env_id)
+        p = ours.params
+        checks = {
+            "width": (ref.width, p.width),
+            "height": (ref.height, p.height),
+            "view": (ref.agent_view_size, p.view_size),
+            "see_through": (ref.see_through_walls, p.see_through_walls),
+            "actions": (ref.action_space.n, ours.num_actions),
+            "reward_range": (tuple(ref.reward_range),
+                             tuple(ours.reward_range)),
+        }
+        if not env_id.startswith("BabyAI"):
+            # BabyAI budgets are computed per episode (dynamic max_steps)
+            checks["max_steps"] = (ref.max_steps, p.max_steps)
+        for k, (a, b) in checks.items():
+            if a != b:
+                mismatches.append((env_id, k, a, b))
+        ref.close()
+    assert not mismatches, mismatches[:10]
+
+
 def test_registry_id_set_matches_reference():
     """Exact 178-id parity with the reference gymnasium registry."""
     from tests.conftest import add_reference_to_path
