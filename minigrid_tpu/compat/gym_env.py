@@ -36,6 +36,24 @@ class GymnasiumAdapter(gym.Env):
                     if isinstance(env_or_id, str) else env_or_id)
         p = self.env.params
 
+        self.reward_range = getattr(self.env, "reward_range", (0, 1))
+
+        self.render_mode = render_mode
+        self.screen_size = screen_size
+        self.highlight = highlight
+        self.tile_size = tile_size
+        self.agent_pov = agent_pov
+
+        self._state = None
+        self._np_seed = None
+        self._build_runtime()
+
+    def _build_runtime(self):
+        """(Re)build the members that cannot survive pickling: compiled
+        kernels, pygame handles, and the gym spaces (whose MissionSpace
+        holds the env's mission closure). Mirrors the reference contract
+        that every env pickles (/root/reference/tests/test_envs.py:180-195)."""
+        p = self.env.params
         self.action_space = spaces.Discrete(self.env.num_actions)
         image_space = spaces.Box(0, 255, (p.view_size, p.view_size, 3),
                                  dtype="uint8")
@@ -44,20 +62,25 @@ class GymnasiumAdapter(gym.Env):
             "direction": spaces.Discrete(4),
             "mission": self.env.mission_space(),
         })
-        self.reward_range = getattr(self.env, "reward_range", (0, 1))
-
-        self.render_mode = render_mode
-        self.screen_size = screen_size
-        self.highlight = highlight
-        self.tile_size = tile_size
-        self.agent_pov = agent_pov
         self.window = None
         self.clock = None
-
         self._reset_fn = jax.jit(self.env.reset)
         self._step_fn = jax.jit(self.env.step)
-        self._state = None
-        self._np_seed = None
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        for k in ("_reset_fn", "_step_fn", "window", "clock",
+                  "observation_space", "action_space"):
+            d.pop(k, None)
+        # device arrays -> host so the payload is portable across backends
+        for k in ("_state", "_step_key"):
+            if d.get(k) is not None:
+                d[k] = jax.tree.map(np.asarray, d[k])
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._build_runtime()
 
     # -- reference-style introspection ----------------------------------
     @property

@@ -105,3 +105,28 @@ def test_rgb_array_render():
     img = env.render()
     assert img.shape == (40, 40, 3) and img.dtype == np.uint8
     env.close()
+
+
+@pytest.mark.parametrize("env_id", ["MiniGrid-DoorKey-5x5-v0",
+                                    "BabyAI-GoToRedBallGrey-v0"])
+def test_pickle_env(env_id):
+    """Every env must pickle (reference tests/test_envs.py:180-195) —
+    and, stronger than the reference asserts, a mid-episode copy must
+    continue the episode identically to the original."""
+    import pickle
+
+    env = gym_make(env_id)
+    obs1, _ = env.reset(seed=7)
+    clone = pickle.loads(pickle.dumps(env))
+    obs2, _ = clone.reset(seed=7)
+    assert np.array_equal(obs1["image"], obs2["image"])
+    assert obs1["mission"] == obs2["mission"]
+
+    env.reset(seed=11)
+    clone = pickle.loads(pickle.dumps(env))
+    for action in [2, 2, 0, 2, 1, 2]:
+        ra, rb = env.step(action), clone.step(action)
+        assert np.array_equal(ra[0]["image"], rb[0]["image"])
+        assert ra[1:] == rb[1:]
+    env.close()
+    clone.close()
