@@ -2,15 +2,25 @@
 
 Methodology mirrors the measured reference baseline (BASELINE.md): pure
 stepping with a fixed pseudo-random action stream, observations generated
-every step (the reference hot loop minigrid_env.py:525-595 + gen_obs). Here
-the loop runs device-side as ``jit(scan(vmap(step)))`` in chunks; the action
-stream for each chunk is drawn in one batched PRNG call (same stream, fewer
-dispatches than per-step draws). Reported rate = total env transitions /
-wall clock over several back-to-back chunks with one final device sync
-(steady-state throughput: the host-side dispatch latency of the remote-TPU
-tunnel overlaps with device compute, exactly as in a real training loop).
+every step (the reference hot loop minigrid_env.py:525-595 + gen_obs). The
+loop runs device-side as ``jit(scan(step))`` in chunks; the action stream
+for each chunk is drawn in one batched PRNG call. Reported rate = total env
+transitions / wall clock over several back-to-back chunks with one final
+device sync (steady-state throughput; host dispatch overlaps device
+compute exactly as in a real training loop).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The headline metric steps with packed observations (EnvParams.packed_obs —
+the policy-consumable format the bundled ActorCritic embeds directly);
+extra keys record the uint8-image path (the reference's observation
+contract), the two auto-reset paths that training actually runs (pooled
+broadcast-row and exact per-env regeneration), and the full PPO train step
+(rollout + GAE + minibatched updates, env-steps/s).
+
+Layout generation is compiled ONCE (a batched ``_gen_grid``); every
+benchmark derives its initial states, observations and the layout pool
+from that single batch, so wall-clock goes to measurement, not compiles.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is the speedup over the reference's single-core DoorKey-8x8
 rate (~8,300 steps/s, BASELINE.md).
 """
@@ -24,74 +34,126 @@ import jax
 import jax.numpy as jnp
 
 import minigrid_tpu
+from minigrid_tpu.core.obs import gen_obs
+from minigrid_tpu.envs.base import LayoutPool, _serialize_stacked
 
 REFERENCE_DOORKEY_STEPS_PER_S = 8300.0  # BASELINE.md, 1 CPU core
+ENV_ID = "MiniGrid-DoorKey-8x8-v0"
+BATCH = 4096
+POOL_SIZE = 1024
 
 
-def build(env_id: str, batch: int, chunk: int, unroll: int = 8):
-    env = minigrid_tpu.make(env_id)
-    reset = jax.jit(jax.vmap(env.reset))
-    step = jax.vmap(env.step)
+def bench_step(env, mode: str, states, chunk=2048, repeats=8, pool=None):
+    """mode: 'pure' | 'autoreset_pooled' | 'autoreset_exact'."""
+    batch = states.agent_dir.shape[0]
+    obs_key = "packed" if env.params.packed_obs else "image"
+    if mode == "pure":
+        step = jax.vmap(env.step)
+    elif mode == "autoreset_exact":
+        step = jax.vmap(env.step_autoreset)
+    else:
+        step = env.step_autoreset_pooled  # batched-native
 
-    def run_chunk(state, key):
+    def run_chunk(state, key, pool):
         key, k_act, k_step = jax.random.split(key, 3)
-        # the whole chunk's action stream in one PRNG call
         actions = jax.random.randint(k_act, (chunk, batch), 0, 7)
-        # fresh per-(step, env) keys: fold the step index into the chunk key
-        # so stochastic envs (e.g. DynamicObstacles) draw independent
-        # randomness every step, then split per env inside the scan body
         step_keys = jax.vmap(lambda i: jax.random.fold_in(k_step, i))(
-            jnp.arange(chunk)
-        )
+            jnp.arange(chunk))
 
         def body(carry, xs):
             (state,) = carry
             k, a = xs
             keys = jax.random.split(k, batch)
-            obs, state, reward, term, trunc, _ = step(keys, state, a)
+            extra = (pool,) if pool is not None else ()
+            obs, state, reward, term, trunc, _ = step(keys, state, a, *extra)
             # consume obs so observation generation stays in the graph
-            probe = obs["image"].astype(jnp.int32).sum() + reward.sum()
+            probe = obs[obs_key].astype(jnp.int32).sum() + reward.sum()
             return (state,), probe
 
-        (state,), probes = jax.lax.scan(
-            body, (state,), (step_keys, actions), unroll=unroll
-        )
+        (state,), probes = jax.lax.scan(body, (state,), (step_keys, actions),
+                                        unroll=8)
         return state, key, probes.sum()
 
-    return env, reset, jax.jit(run_chunk, donate_argnums=(0,))
-
-
-def bench(env_id="MiniGrid-DoorKey-8x8-v0", batch=4096, chunk=2048, repeats=8):
-    env, reset, run_chunk = build(env_id, batch, chunk)
-    key = jax.random.PRNGKey(0)
-    k_reset, key = jax.random.split(key)
-    obs, state = reset(jax.random.split(k_reset, batch))
-    jax.block_until_ready(state.grid)
-
-    # warmup/compile
-    state, key, probe = run_chunk(state, key)
-    jax.block_until_ready(probe)
-
-    # steady-state: launch chunks back-to-back, one final sync
+    run_chunk = jax.jit(run_chunk, donate_argnums=(0,))
+    state = jax.tree.map(jnp.copy, states)  # donation-safe
+    state, key, probe = run_chunk(state, jax.random.PRNGKey(1), pool)
+    jax.block_until_ready(probe)  # compile + warmup
     t0 = time.perf_counter()
-    probes = []
     for _ in range(repeats):
-        state, key, probe = run_chunk(state, key)
-        probes.append(probe)
-    jax.block_until_ready(probes)
-    dt = time.perf_counter() - t0
-    return repeats * batch * chunk / dt
+        state, key, probe = run_chunk(state, key, pool)
+    jax.block_until_ready(probe)
+    return repeats * batch * chunk / (time.perf_counter() - t0)
+
+
+def bench_ppo(env, pool, states, obs, rollout_len=128, repeats=6):
+    """Full PPO train step (rollout + GAE + update), env-steps/s."""
+    from minigrid_tpu.models.actor_critic import ActorCritic, init_params
+    from minigrid_tpu.models.ppo import (PPOConfig, make_optimizer,
+                                         make_train_step)
+
+    batch = states.agent_dir.shape[0]
+    cfg = PPOConfig(num_envs=batch, rollout_len=rollout_len)
+    model = ActorCritic()
+    opt = make_optimizer(cfg)
+    params = init_params(jax.random.PRNGKey(0),
+                         view_size=env.params.view_size, model=model,
+                         packed=env.params.packed_obs)
+    opt_state = opt.init(params)
+    st = jax.tree.map(jnp.copy, states)
+    obs = jax.tree.map(jnp.copy, obs)
+    train_step = jax.jit(make_train_step(env, model, cfg, opt, pooled=True),
+                         donate_argnums=(0, 1, 2, 3))
+    key = jax.random.PRNGKey(2)
+    out = train_step(params, opt_state, st, obs, key, pool)
+    jax.block_until_ready(out[5]["loss"])  # compile + warmup
+    params, opt_state, st, obs, key, _ = out
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        params, opt_state, st, obs, key, m = train_step(
+            params, opt_state, st, obs, key, pool)
+    jax.block_until_ready(m["loss"])
+    return repeats * batch * rollout_len / (time.perf_counter() - t0)
+
+
+def main():
+    env = minigrid_tpu.make(ENV_ID)
+    envp = env.packed()
+
+    # ONE compiled layout generator feeds every benchmark below
+    gen = jax.jit(jax.vmap(env._gen_grid))
+    states = gen(jax.random.split(jax.random.PRNGKey(0), BATCH))
+    jax.block_until_ready(states.grid)
+    # pool from the first POOL_SIZE layouts; staggered step_counts for the
+    # auto-reset paths (desynchronized truncation; envs/base.py)
+    pool_states = jax.tree.map(lambda x: x[:POOL_SIZE], states)
+    buf, spec = jax.jit(lambda t: _serialize_stacked(t)[0])(pool_states), \
+        _serialize_stacked(jax.tree.map(
+            lambda x: jnp.zeros_like(x), pool_states))[1]
+    pool = LayoutPool(buf=buf, spec=spec)
+    offs = jax.random.randint(jax.random.PRNGKey(3), (BATCH,), 0,
+                              env.params.max_steps)
+    staggered = states.replace(step_count=offs)
+    obs_p = jax.jit(jax.vmap(
+        lambda s: gen_obs(envp.params, s)))(staggered)
+
+    rate_packed = bench_step(envp, "pure", states)
+    rate_uint8 = bench_step(env, "pure", states)
+    rate_pooled = bench_step(envp, "autoreset_pooled", staggered, pool=pool)
+    rate_exact = bench_step(envp, "autoreset_exact", staggered, chunk=512,
+                            repeats=4)
+    rate_ppo = bench_ppo(envp, pool, staggered, obs_p)
+
+    print(json.dumps({
+        "metric": "doorkey8x8_env_steps_per_s_4096envs",
+        "value": round(rate_packed),
+        "unit": "steps/s",
+        "vs_baseline": round(rate_packed / REFERENCE_DOORKEY_STEPS_PER_S, 2),
+        "pure_step_image_uint8": round(rate_uint8),
+        "autoreset_pooled": round(rate_pooled),
+        "autoreset_exact": round(rate_exact),
+        "ppo_train_step": round(rate_ppo),
+    }))
 
 
 if __name__ == "__main__":
-    rate = bench()
-    print(
-        json.dumps(
-            {
-                "metric": "doorkey8x8_env_steps_per_s_4096envs",
-                "value": round(rate),
-                "unit": "steps/s",
-                "vs_baseline": round(rate / REFERENCE_DOORKEY_STEPS_PER_S, 2),
-            }
-        )
-    )
+    main()

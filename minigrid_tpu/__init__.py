@@ -11,6 +11,11 @@ of arrays, transitions as branchless jit/vmap kernels, and scaling via
 from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.mission_space import MissionSpace
 from minigrid_tpu.core.types import EnvParams, EnvState
+from minigrid_tpu.envs.base import (
+    LayoutPool,
+    make_layout_pool,
+    refresh_layout_pool,
+)
 from minigrid_tpu.registry import make, register, registered_ids
 from minigrid_tpu import register_envs as _register_envs
 
@@ -22,8 +27,11 @@ __all__ = [
     "Actions",
     "EnvParams",
     "EnvState",
+    "LayoutPool",
     "MissionSpace",
     "make",
+    "make_layout_pool",
+    "refresh_layout_pool",
     "register",
     "registered_ids",
 ]

@@ -72,6 +72,18 @@ class GymnasiumAdapter(gym.Env):
         for k in ("_reset_fn", "_step_fn", "window", "clock",
                   "observation_space", "action_space"):
             d.pop(k, None)
+        # the spaces themselves are rebuilt (MissionSpace closes over the
+        # env), but their np_random generators ARE picklable — carry them
+        # so space.seed(n) state survives, as the reference's wholesale
+        # space pickling does (/root/reference/tests/test_envs.py:180-195)
+        d["_space_rngs"] = {
+            "action": getattr(self.action_space, "_np_random", None),
+            "observation": getattr(self.observation_space, "_np_random", None),
+            "subspaces": {
+                k: getattr(s, "_np_random", None)
+                for k, s in self.observation_space.spaces.items()
+            },
+        }
         # device arrays -> host so the payload is portable across backends
         for k in ("_state", "_step_key"):
             if d.get(k) is not None:
@@ -79,8 +91,17 @@ class GymnasiumAdapter(gym.Env):
         return d
 
     def __setstate__(self, d):
+        rngs = d.pop("_space_rngs", None)
         self.__dict__.update(d)
         self._build_runtime()
+        if rngs:
+            if rngs["action"] is not None:
+                self.action_space._np_random = rngs["action"]
+            if rngs["observation"] is not None:
+                self.observation_space._np_random = rngs["observation"]
+            for k, r in rngs["subspaces"].items():
+                if r is not None and k in self.observation_space.spaces:
+                    self.observation_space.spaces[k]._np_random = r
 
     # -- reference-style introspection ----------------------------------
     @property

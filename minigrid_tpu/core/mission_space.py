@@ -23,12 +23,40 @@ except Exception:  # pragma: no cover - gymnasium always present in CI
     _Base = object
 
 
+class ConstantMission:
+    """Picklable zero-argument mission_func returning a fixed string
+    (lambda closures cannot cross process boundaries, and vectorized
+    gymnasium workers pipe the observation space — so the built-in spaces
+    use these callables instead)."""
+
+    def __init__(self, text: str):
+        self.text = text
+
+    def __call__(self) -> str:
+        return self.text
+
+
+class TemplateMission:
+    """Picklable mission_func substituting its arguments into a ``{}``
+    format template."""
+
+    def __init__(self, template: str, n_args: int):
+        self.template = template
+        self.n_args = n_args
+
+    def __call__(self, *args) -> str:
+        return self.template.format(*args)
+
+
 class MissionSpace(_Base):
     def __init__(self, mission_func: Callable[..., str],
                  ordered_placeholders: list[list[str]] | None = None,
                  seed=None):
         if ordered_placeholders is not None:
-            assert len(ordered_placeholders) == mission_func.__code__.co_argcount
+            n_args = getattr(mission_func, "n_args", None)
+            if n_args is None:
+                n_args = mission_func.__code__.co_argcount
+            assert len(ordered_placeholders) == n_args
             for placeholders in ordered_placeholders:
                 assert len(placeholders) == len(set(placeholders))
         self.ordered_placeholders = ordered_placeholders
@@ -93,9 +121,18 @@ class MissionSpace(_Base):
 
         # self-check against realizations: a mission_func that branches on
         # its argument values produces sentinel output that does not
-        # describe the real realizations
-        for pick in (0, -1):
-            args = [c[pick] for c in self.ordered_placeholders]
+        # describe the real realizations. Probe every candidate of every
+        # slot at least once (paired with the first candidate of the other
+        # slots) so a branch on a *middle* candidate is caught too.
+        probes = [[c[0] for c in self.ordered_placeholders]]
+        for i, cands in enumerate(self.ordered_placeholders):
+            if not cands:
+                return None
+            for c in cands[1:]:
+                args = [cl[0] for cl in self.ordered_placeholders]
+                args[i] = c
+                probes.append(args)
+        for args in probes:
             rebuilt = segments[0]
             for j, arg in enumerate(slot_args):
                 rebuilt += args[arg] + segments[j + 1]
@@ -171,7 +208,7 @@ class BabyAIMissionSpace(MissionSpace):
     ``contains`` accepts any string."""
 
     def __init__(self):
-        super().__init__(mission_func=lambda: "go")
+        super().__init__(mission_func=ConstantMission("go"))
 
     def contains(self, x) -> bool:
         return isinstance(x, str)

@@ -130,6 +130,16 @@ def gen_obs(params: EnvParams, state: EnvState):
     u, vis = _view_packed(params, state)
     u = _overlay_carried(params, state, u)
     u = jnp.where(vis, u, 0)
+    if params.packed_obs:
+        # packed mode: one int32 lane per cell, the 9 observation bits
+        # (type|color<<4|state<<7) only — contents bits are never observable
+        # (the reference encodes boxes opaquely, world_object.py:254-258).
+        # Invisible cells are 0 = unseen, identical to the image path.
+        return {
+            "packed": u & 0x1FF,
+            "direction": state.agent_dir,
+            "mission": state.mission,
+        }
     img = jnp.stack([u & 15, (u >> 4) & 7, (u >> 7) & 3],
                     axis=-1).astype(jnp.uint8)
     return {

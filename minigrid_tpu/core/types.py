@@ -54,6 +54,12 @@ class EnvParams:
     view_size: int = 7
     max_steps: int = 100
     see_through_walls: bool = False
+    # Observation format. False: the reference's {image: (V,V,3) uint8}
+    # contract. True: the view ships as one packed int32 lane per cell
+    # ({packed: (V,V)}, 9 bits = type|color<<4|state<<7) — no unpack/stack
+    # on the hot path; models embed the packed cell id directly
+    # (models/actor_critic.py). Not for use under the image wrappers.
+    packed_obs: bool = False
 
     def __post_init__(self):
         assert self.view_size % 2 == 1 and self.view_size >= 3

@@ -275,7 +275,7 @@ class RoomGridLevel(RoomGridEnv):
             cond, body, (state0, ok0, jnp.zeros((), jnp.int32)))
         return state
 
-    def step(self, key, state, action):
+    def step_state(self, key, state, action):
         prev = state
         new_state, reward, terminated = step_core(self.params, state, action)
         status, instr = I.verify(self.params, state.extra["instr"], prev,
@@ -295,5 +295,4 @@ class RoomGridLevel(RoomGridEnv):
             truncated=truncated,
             extra={**state.extra, "instr": instr},
         )
-        obs = gen_obs(self.params, new_state)
-        return obs, new_state, reward, terminated, truncated, {}
+        return new_state, reward, terminated, truncated

@@ -18,10 +18,12 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from minigrid_tpu.core import constants as C
 from minigrid_tpu.core.actions import NUM_ACTIONS
@@ -32,7 +34,21 @@ from minigrid_tpu.core.types import MISSION_LEN, EnvParams, EnvState
 
 
 def autoreset_step(env, key, state, action):
-    """Generic auto-resetting step over any env-like (incl. wrappers)."""
+    """Generic auto-resetting step over any env-like (incl. wrappers).
+
+    Exact semantics: a finishing episode is replaced by a *freshly generated*
+    layout (a full ``env.reset``), so every reset is an independent draw —
+    the distribution-parity reference path. The cost is that the layout
+    generator runs for every env on every step (selected away when not
+    done); for throughput-critical training loops use the pooled variant
+    below, which replaces the per-step regeneration with a gather from a
+    device-resident pool of pre-generated layouts.
+
+    Works through the generic (obs, state) step/reset surface, so it
+    composes with wrappers; the base-env override
+    (:meth:`MiniGridEnv.step_autoreset`) additionally folds the two
+    observation computations into one.
+    """
     k_step, k_reset = jax.random.split(key)
     obs, st, reward, term, trunc, info = env.step(k_step, state, action)
     done = term | trunc
@@ -40,6 +56,222 @@ def autoreset_step(env, key, state, action):
     st = jax.tree.map(lambda a, b: jnp.where(done, b, a), st, st_r)
     obs = jax.tree.map(lambda a, b: jnp.where(done, b, a), obs, obs_r)
     return obs, st, reward, term, trunc, info
+
+
+# ---------------------------------------------------------------------------
+# Layout pool: device-resident pre-generated reset states for the training
+# hot path. The pool is ONE flat (P, F) int32 buffer, not a stacked pytree:
+# rows are bit-packed tight — grid/carrying cells to 16 bits via
+# grid.pack_cells (every channel is vocabulary-bounded, core/constants.py),
+# mission tokens to 16 bits (VOCAB < 2^16), bools/uint8 4-per-lane — so a
+# DoorKey-8x8 state is one 128-lane tile (512 B), and deserialization is
+# static slices + shifts that fuse into the step. The default consumption
+# pattern is ONE dynamic-sliced row per step broadcast into every env that
+# finished (see autoreset_step_pooled for why per-env gathers lose).
+# ---------------------------------------------------------------------------
+
+def _pair_pack(flat16):
+    """(P, n) int32 with values < 2^16 -> (P, ceil(n/2)) int32."""
+    P, n = flat16.shape
+    if n % 2:
+        flat16 = jnp.pad(flat16, ((0, 0), (0, 1)))
+    v = flat16.reshape(P, -1, 2)
+    return v[..., 0] | (v[..., 1] << 16)
+
+
+def _pair_unpack(col, n):
+    """(w,) int32 -> (n,) int32 of the packed 16-bit halves."""
+    v = jnp.stack([col & 0xFFFF, (col >> 16) & 0xFFFF], axis=-1)
+    return v.reshape(-1)[:n]
+
+
+def _leaf_kind(name: str, x) -> str:
+    from minigrid_tpu.core import constants as C
+
+    dt = jnp.dtype(x.dtype)
+    if (dt == jnp.dtype(jnp.uint8) and x.ndim >= 2
+            and x.shape[-1] == C.NUM_CHANNELS):
+        return "cells"      # grid / carrying: 16-bit packed cells
+    if name.endswith("mission") and dt == jnp.dtype(jnp.int32):
+        return "u16"        # token ids < VOCAB_SIZE < 2^16
+    if dt in (jnp.dtype(bool), jnp.dtype(jnp.uint8)):
+        return "u8"
+    if dt.itemsize == 4:
+        return "w32"
+    raise NotImplementedError(f"pool leaf dtype {dt} at {name}")
+
+
+def _serialize_stacked(tree):
+    """Stacked (P, ...) pytree -> ((P, F) int32 buffer, static spec)."""
+    from minigrid_tpu.core import grid as G
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    cols, entries = [], []
+    for path, x in leaves:
+        P = x.shape[0]
+        shape = tuple(x.shape[1:])
+        dt = jnp.dtype(x.dtype)
+        kind = _leaf_kind(jax.tree_util.keystr(path), x)
+        if kind == "cells":
+            col = _pair_pack(G.pack_cells(x).reshape(P, -1))
+        elif kind == "u16":
+            col = _pair_pack(x.reshape(P, -1))
+        elif kind == "u8":
+            u8 = x.reshape(P, -1).astype(jnp.uint8)
+            pad = (-u8.shape[1]) % 4
+            if pad:
+                u8 = jnp.pad(u8, ((0, 0), (0, pad)))
+            col = jax.lax.bitcast_convert_type(
+                u8.reshape(P, -1, 4), jnp.int32)
+        else:
+            flat = x.reshape(P, -1)
+            col = (flat if dt == jnp.dtype(jnp.int32)
+                   else jax.lax.bitcast_convert_type(flat, jnp.int32))
+        cols.append(col)
+        entries.append((shape, dt.name, col.shape[1], kind))
+    buf = jnp.concatenate(cols, axis=1)
+    pad = (-buf.shape[1]) % 128  # full lane tiles for the row gather
+    if pad:
+        buf = jnp.pad(buf, ((0, 0), (0, pad)))
+    return buf, (treedef, tuple(entries))
+
+
+def _deserialize_row(row, spec):
+    """One (F,) int32 row -> the pytree of a single pool entry."""
+    from minigrid_tpu.core import grid as G
+
+    treedef, entries = spec
+    leaves, off = [], 0
+    for shape, dtname, width, kind in entries:
+        col = jax.lax.slice_in_dim(row, off, off + width, axis=0)
+        off += width
+        dt = jnp.dtype(dtname)
+        n = 1
+        for s in shape:
+            n *= s
+        if kind == "cells":
+            packed = _pair_unpack(col, n // 5)
+            leaves.append(G.unpack_cells(packed).reshape(shape))
+        elif kind == "u16":
+            leaves.append(_pair_unpack(col, n).reshape(shape))
+        elif kind == "u8":
+            u8 = jax.lax.bitcast_convert_type(col, jnp.uint8).reshape(-1)[:n]
+            leaves.append(u8.astype(dt).reshape(shape))
+        else:
+            leaf = (col if dt == jnp.dtype(jnp.int32)
+                    else jax.lax.bitcast_convert_type(col, dt))
+            leaves.append(leaf.reshape(shape))
+    return jax.tree.unflatten(treedef, leaves)
+
+
+@struct.dataclass
+class LayoutPool:
+    """Device-resident pool of P pre-generated reset *states*, serialized
+    into one flat int32 buffer (see above). Observations are NOT pooled:
+    the pooled step selects the state first and generates the observation
+    once on the selected state, so the reset obs is always consistent with
+    the reset state and costs nothing extra.
+
+    Sampling a pool entry uniformly at reset time yields the correct
+    *marginal* layout distribution (each entry is an independent ``reset``
+    draw); entries are only reused within a pool generation, so refresh the
+    pool off the hot path (every few train steps via
+    :func:`refresh_layout_pool`) to restore independence across time.
+    """
+
+    buf: jax.Array                                   # (P, F) int32
+    spec: Any = struct.field(pytree_node=False)      # static (treedef, entries)
+
+    @property
+    def size(self) -> int:
+        return self.buf.shape[0]
+
+    def entry(self, i) -> "EnvState":
+        """Materialize pool entry ``i`` as an EnvState. Test/debug helper."""
+        return _deserialize_row(self.buf[i], self.spec)
+
+
+def make_layout_pool(env, key, pool_size: int = 1024) -> LayoutPool:
+    """Generate a fresh pool of ``pool_size`` independent reset layouts.
+
+    Jitted internally (memoized per env instance/pool size) so refreshes
+    reuse the compiled generator instead of re-tracing."""
+    # memo key includes params: replace_params() copies __dict__, so a
+    # derived env (e.g. .packed()) must not inherit the stale builder
+    memo_key = (pool_size, env.params)
+    cached = getattr(env, "_pool_builder", None)
+    if cached is None or cached[0] != memo_key:
+        def build(k):
+            states = jax.vmap(env._gen_grid)(jax.random.split(k, pool_size))
+            buf, spec = _serialize_stacked(states)
+            return LayoutPool(buf=buf, spec=spec)
+
+        cached = (memo_key, jax.jit(build))
+        env._pool_builder = cached
+    return cached[1](key)
+
+
+def refresh_layout_pool(env, key, pool: LayoutPool) -> LayoutPool:
+    """Regenerate every pool entry (run this outside the rollout scan)."""
+    return make_layout_pool(env, key, pool.size)
+
+
+def autoreset_step_pooled(env, keys, states, actions, pool: LayoutPool,
+                          independent: bool = False):
+    """BATCHED auto-resetting step whose resets come from ``pool`` instead
+    of a full per-env layout regeneration. ``keys``/``states``/``actions``
+    carry a leading batch axis B; do NOT vmap this function.
+
+    Default mode — broadcast row: each step draws ONE fresh pool row (a
+    single-row dynamic slice) and every env finishing on that step restarts
+    from it. Per-env marginals are exactly uniform over the pool (the row
+    draw is independent of which envs finish), so layout statistics match
+    ``reset()`` exactly; the only deviation from independent resets is that
+    envs finishing on the *same* step share a layout. With B=4096 over a
+    1024-entry pool, ~4 envs share any given layout anyway, so this raises
+    within-batch layout correlation only modestly — and it is what keeps
+    the reset path at full step throughput: every alternative that reads a
+    DIFFERENT pool row per env (batched gather, compacted scatter, one-hot
+    matmul reconstruction — all measured) pays either ~5 ns/row serialized
+    DMA latency or full-batch layout-transpose copies, several times the
+    cost of the transition itself.
+
+    ``independent=True`` selects the dense per-env gather instead: every
+    finishing env draws its own pool row (fully independent resets,
+    ~3-4x slower at B=4096). Use it when per-step reset independence
+    matters more than throughput.
+
+    Either way the observation is generated ONCE on the post-reset state,
+    and fresh per-env RNG is derived from this step's keys so envs sharing
+    a pool entry still diverge in in-episode stochastic dynamics (e.g.
+    DynamicObstacles).
+    """
+    from minigrid_tpu.core.obs import gen_obs
+
+    k_pool = jax.random.fold_in(keys[0], 0x9E3779B9)
+    st, reward, term, trunc = jax.vmap(env.step_state)(keys, states, actions)
+    done = term | trunc
+    bdone = lambda x: done.reshape((-1,) + (1,) * (x.ndim - 1))
+    # fresh per-env episode RNG without a per-env threefry pass: a distinct
+    # constant XORed into each env's (already random) step key yields an
+    # independent key stream under counter-based hashing
+    rng_r = keys ^ jnp.asarray([0x5DEECE66, 0xB5297A4D], keys.dtype)
+
+    if independent:
+        idx = jax.vmap(lambda k: jax.random.randint(k, (), 0, pool.size))(
+            rng_r ^ jnp.asarray([0x68E31DA4, 0x1B56C4E9], keys.dtype))
+        rows = pool.buf[idx]
+        st_r = jax.vmap(_deserialize_row, in_axes=(0, None))(rows, pool.spec)
+        st_r = st_r.replace(rng=rng_r)
+        st = jax.tree.map(lambda a, b: jnp.where(bdone(a), b, a), st, st_r)
+    else:
+        row_i = jax.random.randint(k_pool, (), 0, pool.size)
+        row = jax.lax.dynamic_slice_in_dim(pool.buf, row_i, 1, axis=0)[0]
+        st_r = _deserialize_row(row, pool.spec)  # UNBATCHED: broadcast in
+        st_r = st_r.replace(rng=rng_r)  # batched; the rest broadcasts
+        st = jax.tree.map(lambda a, b: jnp.where(bdone(a), b, a), st, st_r)
+    obs = jax.vmap(lambda s: gen_obs(env.params, s))(st)
+    return obs, st, reward, term, trunc, {}
 
 
 class MiniGridEnv:
@@ -59,7 +291,14 @@ class MiniGridEnv:
 
     def obs_shape(self) -> dict:
         v = self.params.view_size
+        if self.params.packed_obs:
+            return {"packed": (v, v), "direction": (), "mission": (MISSION_LEN,)}
         return {"image": (v, v, 3), "direction": (), "mission": (MISSION_LEN,)}
+
+    def packed(self) -> "MiniGridEnv":
+        """Copy of this env emitting packed observations (EnvParams
+        docstring, core/types.py) — the fast policy-consumable format."""
+        return self.replace_params(packed_obs=True)
 
     # -- mission ---------------------------------------------------------
     def default_mission(self) -> str:
@@ -72,9 +311,9 @@ class MiniGridEnv:
         """The Gymnasium mission space (the reference passes one to every
         env constructor, e.g. minigrid/envs/doorkey.py:65); envs with
         placeholder missions override with their template space."""
-        from minigrid_tpu.core.mission_space import MissionSpace
+        from minigrid_tpu.core.mission_space import ConstantMission, MissionSpace
 
-        return MissionSpace(mission_func=lambda m=self.default_mission(): m)
+        return MissionSpace(mission_func=ConstantMission(self.default_mission()))
 
     def mission_text(self, state_or_tokens) -> str:
         from minigrid_tpu.core.mission import detokenize
@@ -113,6 +352,21 @@ class MiniGridEnv:
         state = self._gen_grid(key)
         return gen_obs(self.params, state), state
 
+    def reset_staggered(self, key: jax.Array):
+        """Reset with a uniform random initial ``step_count`` offset.
+
+        Desynchronizes episode ends across a batch so auto-reset work
+        spreads evenly instead of arriving in batch-wide truncation waves
+        (the standard batched-RL warmup trick: each slot's FIRST episode is
+        shortened, every later one is full-length). Use this to initialize
+        training batches — it is essential for the pooled broadcast-row
+        auto-reset, where a synchronized wave would hand every env the
+        same pool layout."""
+        obs, state = self.reset(key)
+        off = jax.random.randint(
+            jax.random.fold_in(key, 0x57A66E7), (), 0, self.params.max_steps)
+        return obs, state.replace(step_count=off)
+
     def _transform_action(self, state: EnvState, action):
         """Action remapping before the core transition (e.g. Memory maps
         pickup->toggle, envs/memory.py:153-154)."""
@@ -128,7 +382,11 @@ class MiniGridEnv:
         (state, reward, terminated)."""
         return state, reward, terminated
 
-    def step(self, key: jax.Array, state: EnvState, action):
+    def step_state(self, key: jax.Array, state: EnvState, action):
+        """The state transition alone — everything in :meth:`step` except
+        observation generation. Returns (state, reward, term, trunc).
+        The auto-reset paths use this to select the surviving state first
+        and generate the observation exactly once."""
         prev = state
         action = self._transform_action(state, action)
         state = self._pre_step(key, state, action)
@@ -137,14 +395,41 @@ class MiniGridEnv:
             prev, new_state, action, reward, terminated
         )
         new_state = new_state.replace(terminated=terminated)
+        return new_state, reward, terminated, new_state.truncated
+
+    def step(self, key: jax.Array, state: EnvState, action):
+        new_state, reward, terminated, truncated = self.step_state(
+            key, state, action)
         obs = gen_obs(self.params, new_state)
-        return obs, new_state, reward, terminated, new_state.truncated, {}
+        return obs, new_state, reward, terminated, truncated, {}
 
     def step_autoreset(self, key: jax.Array, state: EnvState, action):
         """Step with episode auto-reset (the batched-RL convention): when the
         episode ends, the returned state/obs come from a fresh ``reset``
-        while reward/terminated/truncated report the finishing step."""
-        return autoreset_step(self, key, state, action)
+        while reward/terminated/truncated report the finishing step.
+
+        Exact-distribution variant (fresh ``_gen_grid`` per reset); the obs
+        is generated once on the post-select state rather than once per
+        branch, which is identical output for a third less obs work."""
+        k_step, k_reset = jax.random.split(key)
+        st, reward, term, trunc = self.step_state(k_step, state, action)
+        done = term | trunc
+        st_r = self._gen_grid(k_reset)
+        st = jax.tree.map(lambda a, b: jnp.where(done, b, a), st, st_r)
+        return gen_obs(self.params, st), st, reward, term, trunc, {}
+
+    def step_autoreset_pooled(self, keys, states: EnvState, actions,
+                              pool: LayoutPool, independent: bool = False):
+        """BATCHED auto-resetting step drawing resets from a
+        device-resident :class:`LayoutPool` — the fast training-loop path.
+        Takes batch-leading arguments; do NOT vmap (see
+        :func:`autoreset_step_pooled` for the broadcast-row/independent
+        trade-off)."""
+        return autoreset_step_pooled(self, keys, states, actions, pool,
+                                     independent)
+
+    def make_pool(self, key, pool_size: int = 1024) -> LayoutPool:
+        return make_layout_pool(self, key, pool_size)
 
     # -- convenience -----------------------------------------------------
     def vector(self, n: int):

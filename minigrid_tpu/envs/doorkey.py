@@ -10,6 +10,7 @@ from minigrid_tpu.core import grid as G
 from minigrid_tpu.core import place
 from minigrid_tpu.core.types import EnvParams, pack_cell
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 GOAL_CELL = pack_cell(C.GOAL, C.COLOR_TO_IDX["green"])
 YELLOW = C.COLOR_TO_IDX["yellow"]
@@ -18,9 +19,21 @@ YELLOW_KEY = pack_cell(C.KEY, YELLOW)
 
 
 class DoorKeyEnv(MiniGridEnv):
-    """Locked door splits the room; the key is on the agent's side."""
-
     name = "DoorKey"
+    __doc__ = env_doc(
+        """
+        A wall with a single locked yellow door splits the room in two; the
+        agent and a yellow key start on one side and the green goal square
+        sits on the other. The agent must collect the key, unlock the door
+        and walk to the goal. The reward is sparse, which makes the larger
+        sizes hard for vanilla RL — a common testbed for curiosity and
+        curriculum methods. Reference: minigrid/envs/doorkey.py.
+        """,
+        '"use the key to open the door and then get to the goal"',
+        used=(0, 1, 2, 3, 5),
+        termination=("The agent reaches the goal.",
+                     "Timeout (see `max_steps`)."),
+    )
 
     def __init__(self, size=8, max_steps=None, **kw):
         if max_steps is None:

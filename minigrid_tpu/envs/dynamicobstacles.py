@@ -20,12 +20,35 @@ from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.types import EnvParams
 from minigrid_tpu.envs import common as X
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 BALL_CELL = jnp.asarray([C.BALL, X.BLUE, 0, 0, 0], jnp.uint8)
 
 
 class DynamicObstaclesEnv(MiniGridEnv):
     name = "Dynamic-Obstacles"
+    __doc__ = env_doc(
+        """
+        An empty room populated with blue balls that jump to a random free
+        cell in their 3x3 neighborhood every step. The agent must reach
+        the green goal square without ever walking into an obstacle;
+        colliding costs a -1 penalty and ends the episode. Useful for
+        studying dynamic obstacle avoidance under partial observability.
+        The ``Random`` ids start the agent at a random pose instead of the
+        fixed top-left corner. Reference:
+        minigrid/envs/dynamicobstacles.py.
+        """,
+        '"get to the green goal square"',
+        used=(0, 1, 2),
+        num_actions=3,
+        rewards="""
+        A reward of `1 - 0.9 * (step_count / max_steps)` is given on
+        success, and `0` on failure; colliding with an obstacle yields -1.
+        """,
+        termination=("The agent reaches the goal.",
+                     "The agent collides with an obstacle.",
+                     "Timeout (see `max_steps`)."),
+    )
 
     def __init__(self, size=8, agent_start_pos=(1, 1), agent_start_dir=0,
                  n_obstacles=4, max_steps=None, **kw):

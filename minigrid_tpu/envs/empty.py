@@ -12,6 +12,7 @@ from minigrid_tpu.core import grid as G
 from minigrid_tpu.core import place
 from minigrid_tpu.core.types import EnvParams, pack_cell
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 GOAL_CELL = pack_cell(C.GOAL, C.COLOR_TO_IDX["green"])
 
@@ -23,9 +24,22 @@ class EmptyParams(EnvParams):
 
 
 class EmptyEnv(MiniGridEnv):
-    """Walled empty room; goal fixed at the bottom-right corner."""
-
     name = "Empty"
+    __doc__ = env_doc(
+        """
+        A bare walled room whose only feature is the green goal square in
+        the bottom-right corner. Reaching it yields a sparse reward
+        discounted by episode length. Small sizes are the canonical "does
+        my algorithm run at all" check; large sizes probe exploration under
+        sparse reward. In the ``Random`` variants the agent's start pose is
+        re-sampled every episode; otherwise it always starts in the corner
+        opposite the goal. Reference: minigrid/envs/empty.py.
+        """,
+        '"get to the green goal square"',
+        used=(0, 1, 2),
+        termination=("The agent reaches the goal.",
+                     "Timeout (see `max_steps`)."),
+    )
 
     def __init__(self, size=8, agent_start_pos=(1, 1), agent_start_dir=0,
                  max_steps=None, **kw):

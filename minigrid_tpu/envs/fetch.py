@@ -12,8 +12,9 @@ from minigrid_tpu.core import place
 from minigrid_tpu.core.mission import mission_table
 from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import EnvParams, pack_cell
-from minigrid_tpu.core.mission_space import MissionSpace
+from minigrid_tpu.core.mission_space import MissionSpace, TemplateMission
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 OBJ_TYPES = [C.KEY, C.BALL]
 TYPE_NAMES = ["key", "ball"]
@@ -29,12 +30,35 @@ MISSIONS = mission_table([
 
 class FetchEnv(MiniGridEnv):
     name = "Fetch"
+    __doc__ = env_doc(
+        """
+        A room scattered with keys and balls of assorted colors. The
+        mission string names exactly one (color, type) pair, and the agent
+        must pick up a matching object. Grabbing anything else ends the
+        episode with zero reward, so the task requires grounding the
+        instruction text in the observation. Reference:
+        minigrid/envs/fetch.py.
+        """,
+        '"{syntax} {color} {type}"',
+        mission_notes="""
+        {syntax}: one of "get a", "go get a", "fetch a", "go fetch a",
+        "you must fetch a".
+
+        {color}: "red", "green", "blue", "purple", "yellow" or "grey".
+
+        {type}: "key" or "ball".
+        """,
+        used=(0, 1, 2, 3),
+        termination=("The agent picks up the requested object.",
+                     "The agent picks up a different object.",
+                     "Timeout (see `max_steps`)."),
+        configurations="N in the registered ids is the object count.",
+    )
 
     def mission_space(self):
         """Reference fetch.py:77-88."""
         return MissionSpace(
-            mission_func=lambda syntax, color, obj_type:
-                f"{syntax} {color} {obj_type}",
+            mission_func=TemplateMission("{} {} {}", 3),
             ordered_placeholders=[SYNTAXES, C.COLOR_NAMES, TYPE_NAMES],
         )
 

@@ -10,12 +10,24 @@ from minigrid_tpu.core import place
 from minigrid_tpu.core.types import EnvParams
 from minigrid_tpu.envs import common as X
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 
 class FourRoomsEnv(MiniGridEnv):
-    """Classic 19x19 four-rooms layout with random wall gaps."""
-
     name = "FourRooms"
+    __doc__ = env_doc(
+        """
+        The classic four-rooms layout from the options/HRL literature: a
+        19x19 grid divided into four rooms connected through four gaps in
+        the dividing walls. Agent and green goal square are each placed
+        uniformly at random (any room), and the agent must navigate to the
+        goal. Reference: minigrid/envs/fourrooms.py.
+        """,
+        '"reach the goal"',
+        used=(0, 1, 2),
+        termination=("The agent reaches the goal.",
+                     "Timeout (see `max_steps`)."),
+    )
 
     def __init__(self, agent_pos=None, goal_pos=None, max_steps=100, **kw):
         super().__init__(EnvParams(width=19, height=19, max_steps=max_steps, **kw))

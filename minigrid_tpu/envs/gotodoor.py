@@ -12,8 +12,9 @@ from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.mission import mission_table
 from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import EnvParams, pack_cell
-from minigrid_tpu.core.mission_space import MissionSpace
+from minigrid_tpu.core.mission_space import MissionSpace, TemplateMission
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 MISSIONS = mission_table([
     f"go to the {C.IDX_TO_COLOR[c]} door" for c in range(6)
@@ -22,11 +23,28 @@ MISSIONS = mission_table([
 
 class GoToDoorEnv(MiniGridEnv):
     name = "GoToDoor"
+    __doc__ = env_doc(
+        """
+        A single room with one door of a distinct color centered in each of
+        its four walls. The mission string names a door color; the agent
+        must walk up next to that door and signal completion with the
+        ``done`` action, earning a reward only for the correct door.
+        Reference: minigrid/envs/gotodoor.py.
+        """,
+        '"go to the {color} door"',
+        mission_notes="""
+        {color}: "red", "green", "blue", "purple", "yellow" or "grey".
+        """,
+        used=(0, 1, 2, 6),
+        termination=("The agent performs ``done`` while standing next to "
+                     "the requested door.",
+                     "Timeout (see `max_steps`)."),
+    )
 
     def mission_space(self):
         """Reference gotodoor.py:69-72."""
         return MissionSpace(
-            mission_func=lambda color: f"go to the {color} door",
+            mission_func=TemplateMission("go to the {} door", 1),
             ordered_placeholders=[C.COLOR_NAMES],
         )
 

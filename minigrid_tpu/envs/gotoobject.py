@@ -12,8 +12,9 @@ from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.mission import mission_table
 from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import EnvParams, pack_cell
-from minigrid_tpu.core.mission_space import MissionSpace
+from minigrid_tpu.core.mission_space import MissionSpace, TemplateMission
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 TYPE_IDS = jnp.asarray([C.KEY, C.BALL, C.BOX], jnp.uint8)
 TYPE_NAMES = ["key", "ball", "box"]
@@ -36,12 +37,31 @@ def sample_distinct_type_colors(key, n, num_types=3):
 
 class GoToObjectEnv(MiniGridEnv):
     name = "GoToObject"
+    __doc__ = env_doc(
+        """
+        A room containing several colored objects (keys, balls, boxes).
+        The mission string picks out one of them by color and type (e.g.
+        "go to the red key"); the agent earns its reward by performing the
+        ``done`` action while adjacent to the named object. Reference:
+        minigrid/envs/gotoobject.py.
+        """,
+        '"go to the {color} {obj_type}"',
+        mission_notes="""
+        {color}: "red", "green", "blue", "purple", "yellow" or "grey".
+
+        {obj_type}: "key", "ball" or "box".
+        """,
+        used=(0, 1, 2, 6),
+        termination=("The agent performs ``done`` next to the requested "
+                     "object.",
+                     "Timeout (see `max_steps`)."),
+        configurations="N in the registered ids is the object count.",
+    )
 
     def mission_space(self):
         """Reference gotoobject.py:72-75."""
         return MissionSpace(
-            mission_func=lambda color, obj_type:
-                f"go to the {color} {obj_type}",
+            mission_func=TemplateMission("go to the {} {}", 2),
             ordered_placeholders=[C.COLOR_NAMES, TYPE_NAMES],
         )
 

@@ -11,8 +11,9 @@ from minigrid_tpu.core import place
 from minigrid_tpu.core.mission import mission_table
 from minigrid_tpu.core.types import EnvParams, pack_cell
 from minigrid_tpu.envs import common as X
-from minigrid_tpu.core.mission_space import MissionSpace
+from minigrid_tpu.core.mission_space import MissionSpace, TemplateMission
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 # mission indexed by (locked room color, key room color): locked color is
 # used for both the key and the door (lockedroom.py:165-172)
@@ -24,16 +25,33 @@ MISSIONS = mission_table([
 
 
 class LockedRoomEnv(MiniGridEnv):
-    """Six rooms off a central hallway; one locked room holds the goal."""
-
     name = "LockedRoom"
+    __doc__ = env_doc(
+        """
+        Six rooms open onto a central hallway; one of them is locked and
+        contains the green goal square, while another (named in the
+        mission) holds the key. The agent must parse the instruction to
+        find the key room, fetch the key, unlock the door and reach the
+        goal — very hard for plain RL without the language cue.
+        Reference: minigrid/envs/lockedroom.py.
+        """,
+        '"get the {lockedroom_color} key from the {keyroom_color} room, '
+        'unlock the {door_color} door and go to the goal"',
+        mission_notes="""
+        Each color placeholder draws from "red", "green", "blue",
+        "purple", "yellow" or "grey".
+        """,
+        used=(0, 1, 2, 3, 5),
+        termination=("The agent reaches the goal.",
+                     "Timeout (see `max_steps`)."),
+    )
 
     def mission_space(self):
         """Reference lockedroom.py:83-86."""
         return MissionSpace(
-            mission_func=lambda lock_color, keyroom_color, door_color: (
-                f"get the {lock_color} key from the {keyroom_color} room, "
-                f"unlock the {door_color} door and go to the goal"),
+            mission_func=TemplateMission(
+                "get the {} key from the {} room, "
+                "unlock the {} door and go to the goal", 3),
             ordered_placeholders=[C.COLOR_NAMES] * 3,
         )
 

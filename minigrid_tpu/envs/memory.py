@@ -17,6 +17,7 @@ from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import EnvParams, pack_cell
 from minigrid_tpu.envs import common as X
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 GREEN_KEY = pack_cell(C.KEY, X.GREEN)
 GREEN_BALL = pack_cell(C.BALL, X.GREEN)
@@ -24,6 +25,23 @@ GREEN_BALL = pack_cell(C.BALL, X.GREEN)
 
 class MemoryEnv(MiniGridEnv):
     name = "MemoryS"
+    __doc__ = env_doc(
+        """
+        A memory probe: the agent begins in a small chamber containing one
+        object (key or ball), then walks a narrow hallway that forks at
+        the far end. Each fork tip holds an object, one matching what was
+        seen in the chamber. The agent must remember the initial object
+        and step onto the matching fork tip; choosing the wrong side ends
+        the episode with no reward. ``Random`` ids randomize the hallway
+        length. Reference: minigrid/envs/memory.py.
+        """,
+        '"go to the matching object at the end of the hallway"',
+        used=(0, 1, 2, 3, 5),
+        termination=("The agent reaches the matching object.",
+                     "The agent reaches the wrong object.",
+                     "Timeout (see `max_steps`)."),
+        configurations="S in the registered ids is the grid side length.",
+    )
 
     def __init__(self, size=8, random_length=False, max_steps=None, **kw):
         if max_steps is None:

@@ -17,8 +17,9 @@ from minigrid_tpu.core import grid as G
 from minigrid_tpu.core import roomgrid as RG
 from minigrid_tpu.core.mission import tokenize
 from minigrid_tpu.core.types import pack_cell
-from minigrid_tpu.core.mission_space import MissionSpace
+from minigrid_tpu.core.mission_space import MissionSpace, TemplateMission
 from minigrid_tpu.envs.roomgrid_base import PickupTargetMixin, RoomGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 # COLOR_NAMES[0..2] = blue, green, grey (obstructedmaze.py:114-120)
 BALL_COLOR = C.COLOR_TO_IDX["blue"]
@@ -31,11 +32,35 @@ CORNERS = [(2, 0), (2, 2), (0, 2), (0, 0)]
 
 class ObstructedMazeEnv(PickupTargetMixin, RoomGridEnv):
     name = "ObstructedMaze"
+    __doc__ = env_doc(
+        """
+        A blue ball is stashed in a corner of a (up to 3x3) maze of rooms
+        whose connecting doors are locked; the matching keys hide inside
+        boxes, and balls may sit in front of doors, blocking them. The
+        agent must move blockers, open boxes, collect keys, unlock doors
+        and finally pick up the blue ball — all without language cues.
+        Reference: minigrid/envs/obstructedmaze.py and
+        obstructedmaze_v1.py.
+        """,
+        '"pick up the blue ball"',
+        used=(0, 1, 2, 3, 5),
+        termination=("The agent picks up the blue ball.",
+                     "Timeout (see `max_steps`)."),
+        configurations="""
+        Id suffix legend: ``NDl`` = number of locked doors; ``h`` = keys
+        hidden in boxes; ``b`` = doors obstructed by balls; ``NQ`` =
+        number of maze quarters carrying doors/keys; ``Full`` = the whole
+        3x3 maze with both ``h`` and ``b``. The ``-v1`` ids fix the v0
+        generator bug where the blocking ball could bury the key (only
+        2Dlhb, 1Q, 2Q and Full need the fix; the other configurations
+        cannot express it).
+        """,
+    )
 
     def mission_space(self):
         """Reference obstructedmaze.py:93-96."""
         return MissionSpace(
-            mission_func=lambda color: f"pick up the {color} ball",
+            mission_func=TemplateMission("pick up the {} ball", 1),
             ordered_placeholders=[[C.COLOR_NAMES[0]]],
         )
 

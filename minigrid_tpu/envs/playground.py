@@ -11,13 +11,25 @@ from minigrid_tpu.core import place
 from minigrid_tpu.core.types import EnvParams, pack_cell
 from minigrid_tpu.envs import common as X
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 from minigrid_tpu.envs.gotoobject import TYPE_IDS
 
 
 class PlaygroundEnv(MiniGridEnv):
-    """3x3 rooms with doors and 12 random objects; no goal or reward."""
-
     name = "Playground"
+    __doc__ = env_doc(
+        """
+        A 3x3 arrangement of rooms joined by doors, scattered with a dozen
+        random objects. There is no goal, reward or termination condition
+        other than the step limit — it exists for interactive exploration
+        and debugging of the full object/door interaction surface.
+        Reference: minigrid/envs/playground.py.
+        """,
+        '"" (empty mission)',
+        used=(0, 1, 2, 3, 4, 5),
+        rewards="None — this environment defines no reward.",
+        termination=("Timeout (see `max_steps`).",),
+    )
 
     def __init__(self, max_steps=100, **kw):
         super().__init__(EnvParams(width=19, height=19, max_steps=max_steps, **kw))

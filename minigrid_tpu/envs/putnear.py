@@ -12,8 +12,9 @@ from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.mission import mission_table
 from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import EnvParams, pack_cell
-from minigrid_tpu.core.mission_space import MissionSpace
+from minigrid_tpu.core.mission_space import MissionSpace, TemplateMission
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 from minigrid_tpu.envs.gotoobject import TYPE_IDS, TYPE_NAMES, sample_distinct_type_colors
 
 # index = (move_type*6+move_color)*18 + target_type*6+target_color
@@ -26,12 +27,33 @@ MISSIONS = mission_table([
 
 class PutNearEnv(MiniGridEnv):
     name = "PutNear"
+    __doc__ = env_doc(
+        """
+        Several objects share one room; the instruction names a mover
+        object and a fixed target object. The agent must pick up the
+        mover and drop it on a cell adjacent to the target. Easy with two
+        objects, but combining language grounding with multi-object
+        spatial reasoning makes larger counts genuinely hard. Picking up
+        the wrong object fails immediately. Reference:
+        minigrid/envs/putnear.py.
+        """,
+        '"put the {move_color} {move_type} near the {target_color} '
+        '{target_type}"',
+        mission_notes="""
+        The color slots draw from "red", "green", "blue", "purple",
+        "yellow" or "grey"; the type slots from "box", "ball" or "key".
+        """,
+        used=(0, 1, 2, 3, 4),
+        termination=("The agent picks up the wrong object.",
+                     "The agent drops the mover next to the target.",
+                     "Timeout (see `max_steps`)."),
+        configurations="N in the registered ids is the object count.",
+    )
 
     def mission_space(self):
         """Reference putnear.py:73-80."""
         return MissionSpace(
-            mission_func=lambda mc, mt, tc, tt:
-                f"put the {mc} {mt} near the {tc} {tt}",
+            mission_func=TemplateMission("put the {} {} near the {} {}", 4),
             ordered_placeholders=[C.COLOR_NAMES, TYPE_NAMES,
                                   C.COLOR_NAMES, TYPE_NAMES],
         )

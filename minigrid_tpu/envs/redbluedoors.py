@@ -12,10 +12,28 @@ from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import EnvParams, pack_cell
 from minigrid_tpu.envs import common as X
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 
 class RedBlueDoorEnv(MiniGridEnv):
     name = "RedBlueDoors"
+    __doc__ = env_doc(
+        """
+        The agent starts at a random pose in a room that has a red door on
+        one side and a blue door on the opposite side. It must open the
+        red door first and the blue door second; opening the blue door
+        early is an immediate failure. (Counter-intuitively the task is
+        solvable without memory: the red door's open state stays visible.)
+        Reference: minigrid/envs/redbluedoors.py.
+        """,
+        '"open the red door then the blue door"',
+        used=(0, 1, 2, 5),
+        termination=("The agent opens the blue door after the red one — "
+                     "success.",
+                     "The agent opens the blue door before the red one — "
+                     "failure.",
+                     "Timeout (see `max_steps`)."),
+    )
 
     def __init__(self, size=8, max_steps=None, **kw):
         if max_steps is None:

@@ -13,8 +13,9 @@ from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.mission import mission_table, tokenize
 from minigrid_tpu.core.step import reward_on_success
 from minigrid_tpu.core.types import pack_cell
-from minigrid_tpu.core.mission_space import MissionSpace
+from minigrid_tpu.core.mission_space import MissionSpace, TemplateMission
 from minigrid_tpu.envs.roomgrid_base import PickupTargetMixin, RoomGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 
 BOX_MISSIONS = mission_table(
     [f"pick up the {C.IDX_TO_COLOR[c]} box" for c in range(6)]
@@ -22,9 +23,19 @@ BOX_MISSIONS = mission_table(
 
 
 class UnlockEnv(RoomGridEnv):
-    """Two rooms; toggle the locked door open to win (unlock.py:75-96)."""
-
     name = "Unlock"
+    __doc__ = env_doc(
+        """
+        Two rooms joined by a locked door, with the matching key lying in
+        the agent's room. Success is simply getting the door open — the
+        minimal key/door skill in isolation, solvable without language.
+        Reference: minigrid/envs/unlock.py.
+        """,
+        '"open the door"',
+        used=(0, 1, 2, 3, 5),
+        termination=("The agent opens the door.",
+                     "Timeout (see `max_steps`)."),
+    )
 
     def __init__(self, max_steps=None, **kw):
         room_size = 6
@@ -56,14 +67,27 @@ class UnlockEnv(RoomGridEnv):
 
 
 class UnlockPickupEnv(PickupTargetMixin, RoomGridEnv):
-    """Unlock the door, then pick up the box (unlockpickup.py:59-105)."""
-
     name = "UnlockPickup"
+    __doc__ = env_doc(
+        """
+        The target box sits in a second room behind a locked door; the key
+        is in the agent's room. Fetch the key, unlock the door, cross
+        over and pick up the box. Solvable without language. Reference:
+        minigrid/envs/unlockpickup.py.
+        """,
+        '"pick up the {color} box"',
+        mission_notes="""
+        {color}: "red", "green", "blue", "purple", "yellow" or "grey".
+        """,
+        used=(0, 1, 2, 3, 5),
+        termination=("The agent picks up the target box.",
+                     "Timeout (see `max_steps`)."),
+    )
 
     def mission_space(self):
         """Reference unlockpickup.py:61-64."""
         return MissionSpace(
-            mission_func=lambda color: f"pick up the {color} box",
+            mission_func=TemplateMission("pick up the {} box", 1),
             ordered_placeholders=[C.COLOR_NAMES],
         )
 
@@ -91,16 +115,31 @@ class UnlockPickupEnv(PickupTargetMixin, RoomGridEnv):
 
 
 class BlockedUnlockPickupEnv(PickupTargetMixin, RoomGridEnv):
-    """UnlockPickup plus a ball blocking the door
-    (blockedunlockpickup.py:66-115)."""
-
     name = "BlockedUnlockPickup"
+    __doc__ = env_doc(
+        """
+        Like UnlockPickup — a box to fetch from behind a locked door —
+        except a ball is parked directly in front of the door. The agent
+        must first move the ball aside, then collect the key, unlock the
+        door and pick up the box in the far room. A four-skill chain that
+        needs no language. Reference:
+        minigrid/envs/blockedunlockpickup.py.
+        """,
+        '"pick up the {color} {type}"',
+        mission_notes="""
+        {color}: "red", "green", "blue", "purple", "yellow" or "grey".
+
+        {type}: "box" or "key".
+        """,
+        used=(0, 1, 2, 3, 5),
+        termination=("The agent picks up the target box.",
+                     "Timeout (see `max_steps`)."),
+    )
 
     def mission_space(self):
         """Reference blockedunlockpickup.py:67-70."""
         return MissionSpace(
-            mission_func=lambda color, obj_type:
-                f"pick up the {color} {obj_type}",
+            mission_func=TemplateMission("pick up the {} {}", 2),
             ordered_placeholders=[C.COLOR_NAMES, ["box", "key"]],
         )
 

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 LOC_HEURISTICS = ("lexical", "entropy", "anti-entropy", "simple", "random",
                   "spiral")
-CHOICE_HEURISTICS = ("lexical", "weighted", "random", "rarest")
+CHOICE_HEURISTICS = ("lexical", "weighted", "random", "rarest", "most common")
 
 
 def propagate(wave, adj, periodic: bool):
@@ -153,6 +153,14 @@ def _choose_pattern(key, cell, wave, weights, choice_heuristic: str):
         # cell's own possibilities
         sums = wave.sum(axis=(1, 2))
         logits = jnp.where(sums == sums.max(), 0.0, -jnp.inf)
+        return jax.random.categorical(key, logits)
+    if choice_heuristic == "most common":
+        # uniform among the patterns with MINIMAL whole-wave support
+        # (reference solver.py:364-385 draws from wave_sums.min() — the
+        # mirror image of its rarest heuristic), again whole-wave, not
+        # restricted to the collapsed cell
+        sums = wave.sum(axis=(1, 2))
+        logits = jnp.where(sums == sums.min(), 0.0, -jnp.inf)
         return jax.random.categorical(key, logits)
     raise ValueError(
         f"unknown choice_heuristic {choice_heuristic!r}; "

@@ -18,6 +18,7 @@ from minigrid_tpu.core import grid as G
 from minigrid_tpu.core.types import EnvParams
 from minigrid_tpu.envs import common as X
 from minigrid_tpu.envs.base import MiniGridEnv
+from minigrid_tpu.envs.envdoc import env_doc
 from minigrid_tpu.envs.wfc import patterns as P
 from minigrid_tpu.envs.wfc import solver as S
 from minigrid_tpu.envs.wfc.config import WFC_PRESETS_ALL, WFCConfig
@@ -47,9 +48,28 @@ def largest_component(empty: jnp.ndarray) -> jnp.ndarray:
 
 
 class WFCEnv(MiniGridEnv):
-    """Procedurally WFC-generated maze."""
-
     name = "WFC"
+    __doc__ = env_doc(
+        """
+        Every reset synthesizes a fresh maze with Wave Function Collapse:
+        local patterns extracted from a small template image are tiled
+        into a new layout that is locally consistent with the template,
+        then the largest connected region is kept and start/goal cells are
+        placed inside it. 22 preset pattern catalogs ship with the
+        framework (6 of them registered as ids); heuristics, backtracking
+        and global constraints are configurable via ``WFCConfig``.
+        Reference: minigrid/envs/wfc/wfcenv.py and wfclogic/.
+        """,
+        '"traverse the maze to get to the goal"',
+        used=(0, 1, 2),
+        termination=("The agent reaches the goal.",
+                     "Timeout (see `max_steps`)."),
+        configurations="""
+        Registered ids select a preset, e.g.
+        ``MiniGrid-WFC-MazeSimple-v0``; every shipped preset is available
+        through ``WFCEnv(wfc_config=...)``.
+        """,
+    )
 
     PATTERN_COLOR_CONFIG = {"wall": 0, "empty": 255}
 

@@ -22,6 +22,8 @@ from minigrid_tpu.core.mission import VOCAB_SIZE
 
 # one-hot widths for the three symbolic planes
 N_TYPE, N_COLOR, N_STATE = C.NUM_OBJECTS, C.NUM_COLORS, 3
+# packed-cell vocabulary: the 9 observation bits (core/obs.py gen_obs)
+N_PACKED = 512
 
 
 def encode_image(image: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
@@ -36,12 +38,22 @@ def encode_image(image: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
 class ActorCritic(nn.Module):
     hidden: int = 256
     mission_dim: int = 64
+    cell_dim: int = 20  # per-cell embedding width in packed-obs mode
     num_actions: int = NUM_ACTIONS
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, obs: dict):
-        img = encode_image(obs["image"], self.dtype)
+        if "packed" in obs:
+            # packed mode (EnvParams.packed_obs): embed the 9-bit cell id
+            # directly — information-equivalent to the 20-wide one-hot of
+            # the image path (type x color x state factors through the id)
+            # with no unpack/stack on the env side.
+            emb = nn.Embed(N_PACKED, self.cell_dim, dtype=self.dtype,
+                           name="cell_embed")(obs["packed"])
+            img = emb.reshape(*emb.shape[:-3], -1)
+        else:
+            img = encode_image(obs["image"], self.dtype)
         x = nn.Dense(self.hidden, dtype=self.dtype, name="img_in")(img)
         x = nn.relu(x)
 
@@ -66,10 +78,13 @@ class ActorCritic(nn.Module):
 
 
 def init_params(key, view_size: int = 7, mission_len: int = 64,
-                model: ActorCritic | None = None):
+                model: ActorCritic | None = None, packed: bool = False):
     model = model or ActorCritic()
-    obs = {
-        "image": jnp.zeros((1, view_size, view_size, 3), jnp.uint8),
+    if packed:
+        view = {"packed": jnp.zeros((1, view_size, view_size), jnp.int32)}
+    else:
+        view = {"image": jnp.zeros((1, view_size, view_size, 3), jnp.uint8)}
+    obs = view | {
         "direction": jnp.zeros((1,), jnp.int32),
         "mission": jnp.zeros((1, mission_len), jnp.int32),
     }

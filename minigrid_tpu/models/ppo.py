@@ -52,12 +52,24 @@ def make_optimizer(cfg: PPOConfig):
     )
 
 
-def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer):
-    """Returns train_step(params, opt_state, env_state, obs, key) -> ..."""
+def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
+                    pooled: bool = False):
+    """Returns train_step(params, opt_state, env_state, obs, key) -> ...
 
-    step_env = jax.vmap(env.step_autoreset)
+    With ``pooled=True`` the rollout auto-resets from a device-resident
+    :class:`~minigrid_tpu.envs.base.LayoutPool` (the fast path — no per-step
+    layout regeneration) and ``train_step`` takes the pool as a trailing
+    argument: ``train_step(params, opt_state, env_state, obs, key, pool)``.
+    Refresh the pool between train steps (``refresh_layout_pool``) to keep
+    reset draws independent across updates.
+    """
 
-    def rollout(params, env_state, obs, key):
+    if pooled:
+        step_env = env.step_autoreset_pooled  # batched-native (no vmap)
+    else:
+        step_env = jax.vmap(env.step_autoreset)
+
+    def rollout(params, env_state, obs, key, pool):
         def body(carry, _):
             env_state, obs, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
@@ -67,8 +79,9 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer):
                 jnp.arange(action.shape[0]), action
             ]
             keys = jax.random.split(k_step, action.shape[0])
+            extra = (pool,) if pooled else ()
             obs2, env_state2, reward, term, trunc, _ = step_env(
-                keys, env_state, action
+                keys, env_state, action, *extra
             )
             t = Transition(obs, action, log_prob, value, reward, term | trunc)
             return (env_state2, obs2, key), t
@@ -108,8 +121,8 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer):
             "entropy": entropy,
         }
 
-    def train_step(params, opt_state, env_state, obs, key):
-        env_state, obs, key, traj = rollout(params, env_state, obs, key)
+    def train_step(params, opt_state, env_state, obs, key, pool=None):
+        env_state, obs, key, traj = rollout(params, env_state, obs, key, pool)
         _, last_value = model.apply(params, obs)
         adv, ret = gae(traj, last_value)
 

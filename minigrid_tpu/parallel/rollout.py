@@ -22,13 +22,20 @@ class RolloutChunk(NamedTuple):
     done: jax.Array
 
 
-def make_rollout(env, policy_fn: Callable | None = None, length: int = 128):
-    """Build rollout(params, env_state, obs, key) -> (env_state, obs, key,
-    RolloutChunk). With ``policy_fn=None``, acts uniformly at random."""
+def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
+                 pooled: bool = False):
+    """Build rollout(params, env_state, obs, key[, pool]) -> (env_state,
+    obs, key, RolloutChunk). With ``policy_fn=None``, acts uniformly at
+    random. With ``pooled=True`` episode resets gather from a
+    :class:`~minigrid_tpu.envs.base.LayoutPool` passed as the trailing
+    argument (the fast training-loop path; see envs/base.py)."""
 
-    step = jax.vmap(env.step_autoreset)
+    if pooled:
+        step = env.step_autoreset_pooled  # batched-native (no vmap)
+    else:
+        step = jax.vmap(env.step_autoreset)
 
-    def rollout(params, env_state, obs, key):
+    def rollout(params, env_state, obs, key, pool=None):
         def body(carry, _):
             env_state, obs, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
@@ -39,8 +46,9 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128):
                 logits = policy_fn(params, obs)
                 action = jax.random.categorical(k_act, logits)
             keys = jax.random.split(k_step, batch)
+            extra = (pool,) if pooled else ()
             obs2, env_state2, reward, term, trunc, _ = step(keys, env_state,
-                                                            action)
+                                                            action, *extra)
             return (env_state2, obs2, key), RolloutChunk(
                 obs, action, reward, term | trunc)
 

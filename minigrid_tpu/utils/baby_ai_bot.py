@@ -285,18 +285,28 @@ class BabyAIBot:
         return bool((closed & near_reach).any())
 
     def _door_blocker(self, s, door_pos):
-        """A carryable object directly in front of the door on the agent's
-        reachable side."""
+        """The carryable object barring access to the door, or None.
+
+        An adjacent object only *blocks* when the agent cannot already
+        stand next to the door: if any known-free door-adjacent cell is
+        reachable, the door is approachable and nothing needs clearing
+        (the reference bot's GoNextToSubgoal blocker handling,
+        baby_ai_bot.py:536-560, likewise clears only the cell it must
+        step onto)."""
         reach = self._reachable_cells(s)
+        blocker = None
         for d in DIRS:
             n = (door_pos[0] + d[0], door_pos[1] + d[1])
+            if n == tuple(s.agent_pos):
+                return None  # already standing next to the door
             if not s.in_bounds(n) or not s.seen[n]:
                 continue
             t = s.types[n]
-            if t in (C.BALL, C.BOX, C.KEY) and reach[n]:
-                # blocking only if it sits between us and the door
-                return n
-        return None
+            if t == C.EMPTY and reach[n]:
+                return None  # a free approach cell exists — not blocked
+            if blocker is None and t in (C.BALL, C.BOX, C.KEY) and reach[n]:
+                blocker = n
+        return blocker
 
     def _clear_cell(self, s, cell):
         """Pick up the object at ``cell`` and drop it elsewhere."""

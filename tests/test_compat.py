@@ -107,6 +107,76 @@ def test_rgb_array_render():
     env.close()
 
 
+@pytest.mark.parametrize("env_id", ["MiniGrid-Empty-8x8-v0",
+                                    "MiniGrid-DoorKey-5x5-v0"])
+def test_sync_vector_env(env_id):
+    """gym.vector.SyncVectorEnv over the adapter (the reference's
+    vectorization smoke, tests/test_envs.py:320-340)."""
+    import gymnasium as gym
+
+    num_envs = 4
+    env = gym.vector.SyncVectorEnv(
+        [lambda: gym_make(env_id) for _ in range(num_envs)])
+    obs, _ = env.reset(seed=0)
+    assert obs["image"].shape == (num_envs, 7, 7, 3)
+    assert env.single_observation_space == gym_make(env_id).observation_space
+    obs, reward, term, trunc, _ = env.step(env.action_space.sample())
+    assert obs["image"].shape == (num_envs, 7, 7, 3)
+    assert reward.shape == term.shape == (num_envs,)
+    env.close()
+
+
+@pytest.mark.nightly
+def test_async_vector_env():
+    """Subprocess vectorization: the adapter pickles mid-construction, so
+    AsyncVectorEnv must reset/step across process boundaries. Nightly:
+    each spawn worker pays a cold jax import + compile (~2.5 min total);
+    the default tier covers vectorization with SyncVectorEnv, mirroring
+    the reference's own smoke (tests/test_envs.py:328-340)."""
+    import gymnasium as gym
+
+    # shared_memory needs flat fixed-size spaces; the Dict space's
+    # MissionSpace (string-valued) cannot be shared, so pipe obs instead.
+    # spawn context: forking a process with live JAX thread pools
+    # deadlocks, so workers build the env fresh from a picklable factory
+    # (mission_funcs are picklable callables, core/mission_space.py)
+    import functools
+
+    env = gym.vector.AsyncVectorEnv(
+        [functools.partial(gym_make, "MiniGrid-Empty-5x5-v0")
+         for _ in range(2)],
+        shared_memory=False, context="spawn", daemon=True)
+    try:
+        obs, _ = env.reset(seed=3)
+        assert obs["image"].shape == (2, 7, 7, 3)
+        for _ in range(3):
+            obs, reward, term, trunc, _ = env.step(env.action_space.sample())
+        assert obs["image"].shape == (2, 7, 7, 3)
+    finally:
+        env.close()
+
+
+def test_pickle_preserves_space_rng():
+    """space.seed(n) state survives pickling (the reference pickles spaces
+    wholesale; the adapter rebuilds them but carries their generators)."""
+    import pickle
+
+    env = gym_make("MiniGrid-Empty-5x5-v0")
+    env.reset(seed=0)
+    env.action_space.seed(123)
+    env.observation_space.seed(456)
+    expect_a = [env.action_space.sample() for _ in range(4)]
+    env.action_space.seed(123)
+    env.observation_space.seed(456)
+    clone = pickle.loads(pickle.dumps(env))
+    assert [clone.action_space.sample() for _ in range(4)] == expect_a
+    s1 = env.observation_space["image"].sample()
+    s2 = clone.observation_space["image"].sample()
+    assert np.array_equal(s1, s2)
+    env.close()
+    clone.close()
+
+
 @pytest.mark.parametrize("env_id", ["MiniGrid-DoorKey-5x5-v0",
                                     "BabyAI-GoToRedBallGrey-v0"])
 def test_pickle_env(env_id):

@@ -17,25 +17,39 @@ from minigrid_tpu.models.ppo import PPOConfig, make_optimizer, make_train_step
 
 
 def run_ppo(env_id: str, updates: int, num_envs: int = 128,
-            ent_coef: float = 0.01) -> list[float]:
+            ent_coef: float = 0.01, pooled: bool = False,
+            packed: bool = False) -> list[float]:
     env = minigrid_tpu.make(env_id)
+    if packed:
+        env = env.packed()
     cfg = PPOConfig(num_envs=num_envs, rollout_len=64, num_epochs=2,
                     num_minibatches=4, lr=1e-3, ent_coef=ent_coef)
     model = ActorCritic(hidden=64)
     opt = make_optimizer(cfg)
     params = init_params(jax.random.PRNGKey(0),
-                         view_size=env.params.view_size, model=model)
+                         view_size=env.params.view_size, model=model,
+                         packed=packed)
     opt_state = opt.init(params)
-    obs, st = jax.jit(jax.vmap(env.reset))(
+    reset = env.reset_staggered if pooled else env.reset
+    obs, st = jax.jit(jax.vmap(reset))(
         jax.random.split(jax.random.PRNGKey(1), cfg.num_envs))
-    train_step = jax.jit(make_train_step(env, model, cfg, opt),
+    train_step = jax.jit(make_train_step(env, model, cfg, opt,
+                                         pooled=pooled),
                          donate_argnums=(0, 1, 2, 3))
     key = jax.random.PRNGKey(2)
+    pool = None
+    if pooled:
+        from minigrid_tpu.envs.base import make_layout_pool, refresh_layout_pool
+
+        pool = make_layout_pool(env, jax.random.PRNGKey(3), 256)
     rewards = []
-    for _ in range(updates):
+    for u in range(updates):
         params, opt_state, st, obs, key, m = train_step(
-            params, opt_state, st, obs, key)
+            params, opt_state, st, obs, key, pool)
         rewards.append(float(m["mean_reward"]))
+        if pooled and u % 8 == 7:  # refresh off the hot path
+            pool = refresh_layout_pool(env, jax.random.fold_in(
+                jax.random.PRNGKey(4), u), pool)
     return rewards
 
 
@@ -45,6 +59,18 @@ def test_ppo_learns_empty():
     assert last > 0.10, f"final reward {last:.4f} too low: {r}"
     assert last > 5 * max(first, 1e-4), (
         f"no learning: first5={first:.4f} last5={last:.4f}")
+
+
+def test_ppo_learns_empty_pooled_packed():
+    """The production fast path (pooled broadcast-row resets + packed
+    observations) must also actually learn, not just run."""
+    r = run_ppo("MiniGrid-Empty-5x5-v0", updates=30, pooled=True,
+                packed=True)
+    first, last = sum(r[:5]) / 5, sum(r[-5:]) / 5
+    assert last > 0.10, f"final reward {last:.4f} too low: {r}"
+    assert last > 5 * max(first, 1e-4), (
+        f"no learning on the pooled path: first5={first:.4f} "
+        f"last5={last:.4f}")
 
 
 @pytest.mark.nightly

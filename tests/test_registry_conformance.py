@@ -143,6 +143,45 @@ def test_conformance_full(env_id):
     conform(env_id)
 
 
+@pytest.mark.nightly
+def test_pickle_all_ids_construct():
+    """Every registered id's adapter survives a pickle round-trip at
+    construction (reference test_pickle_env covers the whole registry,
+    tests/test_envs.py:180-195) — catches any env family acquiring a
+    non-picklable attribute. Mid-episode fidelity is pinned by
+    test_compat.test_pickle_env; reset equivalence by the sweep below."""
+    import pickle
+
+    from minigrid_tpu.compat.gym_env import gym_make
+
+    for env_id in sorted(minigrid_tpu.registered_ids()):
+        env = gym_make(env_id)
+        clone = pickle.loads(pickle.dumps(env))
+        assert clone.env.params == env.env.params, env_id
+        env.close()
+        clone.close()
+
+
+@pytest.mark.nightly
+@pytest.mark.parametrize("env_id", sorted(set(FULL_SWEEP_IDS)))
+def test_pickle_reset_equivalence(env_id):
+    """Pickled adapters reproduce the original's seeded reset exactly
+    (eager, like the conformance sweep — no per-id compiles)."""
+    import pickle
+
+    from minigrid_tpu.compat.gym_env import gym_make
+
+    env = gym_make(env_id)
+    with jax.disable_jit():
+        obs1, _ = env.reset(seed=5)
+        clone = pickle.loads(pickle.dumps(env))
+        obs2, _ = clone.reset(seed=5)
+    assert np.array_equal(obs1["image"], obs2["image"])
+    assert obs1["mission"] == obs2["mission"]
+    env.close()
+    clone.close()
+
+
 def test_registry_params_match_reference():
     """Every id's static geometry/config equals the reference env's —
     width, height, view size, see_through_walls, and (where the reference

@@ -97,12 +97,13 @@ def test_solver_location_heuristics(loc):
 
 @pytest.mark.parametrize("choice", list(S.CHOICE_HEURISTICS))
 def test_solver_choice_heuristics(choice):
-    if choice == "rarest":
-        # 'rarest' draws among max-support patterns without restricting to
-        # the collapsed cell (reference solver.py:340-361) — on constrained
-        # catalogs it contradicts by design, and the reference neither
-        # tests it nor ships a preset using it. Prove the mechanism on an
-        # unconstrained catalog where every pattern pairing is legal.
+    if choice in ("rarest", "most common"):
+        # 'rarest'/'most common' draw among extreme-support patterns
+        # without restricting to the collapsed cell (reference
+        # solver.py:340-385) — on constrained catalogs they contradict by
+        # design, and the reference neither tests them nor ships a preset
+        # using them. Prove the mechanism on an unconstrained catalog where
+        # every pattern pairing is legal.
         P_, out = 3, (6, 6)
         adj = jnp.ones((4, P_, P_), bool)
         w = jnp.ones((P_,), jnp.float32)
@@ -180,7 +181,7 @@ def test_solver_rejects_unknown_options():
                 loc_heuristic="hilbert")
     with pytest.raises(ValueError):
         S.solve(jax.random.PRNGKey(0), adj, w, out, False,
-                choice_heuristic="most-common")
+                choice_heuristic="least-common")
     with pytest.raises(ValueError):
         S.solve(jax.random.PRNGKey(0), adj, w, out, False,
                 global_constraint="nope")
