@@ -4,10 +4,18 @@ The reference ships no models (SURVEY.md §2: training lives in external
 rl-starter-files); a TPU-native framework needs a first-class learner, so
 this is the batteries-included policy for the batched envs: symbolic-view
 encoder (one-hot of the type/color/state planes — the same 20-bit encoding as
-the reference's OneHotPartialObsWrapper, wrappers.py:217-285), mission-token
-embedding with mean pooling (BabyAI instruction conditioning), direction
-one-hot, dense trunk in bfloat16 so the matmuls ride the MXU, and separate
+the reference's OneHotPartialObsWrapper, wrappers.py:217-285), mission
+conditioning by masked mean-pooled token embeddings, direction one-hot,
+dense trunk in bfloat16 so the matmuls ride the MXU, and separate
 policy/value heads.
+
+Gather-free by design: nn.Embed lookups lower to row gathers, which
+serialize per row on TPU (~5 ns/row — profiled at >100 ms per PPO minibatch
+at 131k samples). Instead the view planes become fused one-hot compares
+feeding a dense matmul, and the mission mean-pool is computed as a
+vocabulary-count contraction: mean(E[t] for t in tokens, t != pad)
+== (counts @ E) / n, where ``counts`` comes from a compare+reduce that XLA
+fuses without materializing the (L, V) one-hot.
 """
 
 from __future__ import annotations
@@ -22,47 +30,57 @@ from minigrid_tpu.core.mission import VOCAB_SIZE
 
 # one-hot widths for the three symbolic planes
 N_TYPE, N_COLOR, N_STATE = C.NUM_OBJECTS, C.NUM_COLORS, 3
-# packed-cell vocabulary: the 9 observation bits (core/obs.py gen_obs)
-N_PACKED = 512
+
+
+def _encode_planes(t, c, s, dtype):
+    """(..., V, V) index planes -> (..., V*V*20) one-hot features."""
+    feat = jnp.concatenate([
+        jax.nn.one_hot(t, N_TYPE, dtype=dtype),
+        jax.nn.one_hot(c, N_COLOR, dtype=dtype),
+        jax.nn.one_hot(s, N_STATE, dtype=dtype),
+    ], axis=-1)
+    return feat.reshape(*feat.shape[:-3], -1)
 
 
 def encode_image(image: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     """(..., V, V, 3) uint8 -> (..., V*V*20) one-hot features."""
-    t = jax.nn.one_hot(image[..., 0], N_TYPE, dtype=dtype)
-    c = jax.nn.one_hot(image[..., 1], N_COLOR, dtype=dtype)
-    s = jax.nn.one_hot(image[..., 2], N_STATE, dtype=dtype)
-    feat = jnp.concatenate([t, c, s], axis=-1)
-    return feat.reshape(*feat.shape[:-3], -1)
+    return _encode_planes(image[..., 0], image[..., 1], image[..., 2], dtype)
+
+
+def encode_packed(cells: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """(..., V, V) packed int32 -> the same (..., V*V*20) features (the
+    packed cell id is type | color<<4 | state<<7, core/obs.py)."""
+    return _encode_planes(cells & 15, (cells >> 4) & 7, (cells >> 7) & 3,
+                          dtype)
 
 
 class ActorCritic(nn.Module):
     hidden: int = 256
     mission_dim: int = 64
-    cell_dim: int = 20  # per-cell embedding width in packed-obs mode
     num_actions: int = NUM_ACTIONS
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, obs: dict):
         if "packed" in obs:
-            # packed mode (EnvParams.packed_obs): embed the 9-bit cell id
-            # directly — information-equivalent to the 20-wide one-hot of
-            # the image path (type x color x state factors through the id)
-            # with no unpack/stack on the env side.
-            emb = nn.Embed(N_PACKED, self.cell_dim, dtype=self.dtype,
-                           name="cell_embed")(obs["packed"])
-            img = emb.reshape(*emb.shape[:-3], -1)
+            img = encode_packed(obs["packed"], self.dtype)
         else:
             img = encode_image(obs["image"], self.dtype)
         x = nn.Dense(self.hidden, dtype=self.dtype, name="img_in")(img)
         x = nn.relu(x)
 
-        # mission conditioning: embed tokens, masked mean-pool
+        # mission conditioning: masked mean-pooled token embeddings,
+        # computed as a count contraction (see module docstring); column 0
+        # is the pad token and is excluded from counts and normalization
         tokens = obs["mission"]
-        emb = nn.Embed(VOCAB_SIZE, self.mission_dim, dtype=self.dtype,
-                       name="mission_embed")(tokens)
-        mask = (tokens != 0).astype(self.dtype)[..., None]
-        pooled = (emb * mask).sum(-2) / jnp.maximum(mask.sum(-2), 1.0)
+        counts = (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2)
+        counts = counts * (jnp.arange(VOCAB_SIZE) != 0)
+        n = counts.sum(-1, keepdims=True)
+        table = self.param(
+            "mission_embed", nn.initializers.normal(stddev=1.0),
+            (VOCAB_SIZE, self.mission_dim))
+        pooled = (counts.astype(self.dtype) @ table.astype(self.dtype)
+                  ) / jnp.maximum(n, 1).astype(self.dtype)
 
         d = jax.nn.one_hot(obs["direction"], 4, dtype=self.dtype)
         x = jnp.concatenate([x, pooled, d], axis=-1)
