@@ -43,7 +43,7 @@ BATCH = 4096
 POOL_SIZE = 1024
 
 
-def bench_step(env, mode: str, states, chunk=2048, repeats=8, pool=None):
+def bench_step(env, mode: str, states, chunk=4096, repeats=6, pool=None):
     """mode: 'pure' | 'autoreset_pooled' | 'autoreset_exact'."""
     batch = states.agent_dir.shape[0]
     obs_key = "packed" if env.params.packed_obs else "image"
@@ -113,6 +113,18 @@ def bench_ppo(env, pool, states, obs, rollout_len=128, repeats=6):
             params, opt_state, st, obs, key, pool)
     jax.block_until_ready(m["loss"])
     return repeats * batch * rollout_len / (time.perf_counter() - t0)
+
+
+def bench(env_id: str = ENV_ID, batch: int = BATCH, chunk: int = 2048,
+          repeats: int = 8) -> float:
+    """Single-number batched throughput for one env id (the
+    minigrid_tpu.benchmark CLI's aggregate phase; uint8-image obs so any
+    env id works unmodified)."""
+    env = minigrid_tpu.make(env_id)
+    gen = jax.jit(jax.vmap(env._gen_grid))
+    states = gen(jax.random.split(jax.random.PRNGKey(0), batch))
+    jax.block_until_ready(states.grid)
+    return bench_step(env, "pure", states, chunk=chunk, repeats=repeats)
 
 
 def main():

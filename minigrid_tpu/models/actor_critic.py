@@ -71,9 +71,15 @@ class ActorCritic(nn.Module):
 
         # mission conditioning: masked mean-pooled token embeddings,
         # computed as a count contraction (see module docstring); column 0
-        # is the pad token and is excluded from counts and normalization
-        tokens = obs["mission"]
-        counts = (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2)
+        # is the pad token and is excluded from counts and normalization.
+        # Accepts precomputed "mission_counts" (uint8 vocabulary counts —
+        # the PPO rollout stores these instead of raw tokens: 64 B/sample
+        # instead of 384 B, same pooled embedding exactly).
+        if "mission_counts" in obs:
+            counts = obs["mission_counts"].astype(jnp.int32)
+        else:
+            tokens = obs["mission"]
+            counts = (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2)
         counts = counts * (jnp.arange(VOCAB_SIZE) != 0)
         n = counts.sum(-1, keepdims=True)
         table = self.param(

@@ -45,6 +45,22 @@ class Transition(NamedTuple):
     done: jax.Array
 
 
+def _compact_obs(obs):
+    """Shrink stored rollout observations: mission tokens -> uint8
+    vocabulary counts (64 B vs 384 B per sample). The policy's mission
+    mean-pool only consumes counts (models/actor_critic.py), so minibatch
+    losses see exactly the same conditioning while the trajectory buffer
+    and its shuffling gathers move 6x less mission data."""
+    from minigrid_tpu.core.mission import VOCAB_SIZE
+
+    if "mission" not in obs:
+        return obs
+    tokens = obs["mission"]
+    counts = (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2)
+    return {k: v for k, v in obs.items() if k != "mission"} | {
+        "mission_counts": counts.astype(jnp.uint8)}
+
+
 def make_optimizer(cfg: PPOConfig):
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
@@ -83,7 +99,8 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             obs2, env_state2, reward, term, trunc, _ = step_env(
                 keys, env_state, action, *extra
             )
-            t = Transition(obs, action, log_prob, value, reward, term | trunc)
+            t = Transition(_compact_obs(obs), action, log_prob, value,
+                           reward, term | trunc)
             return (env_state2, obs2, key), t
 
         (env_state, obs, key), traj = jax.lax.scan(

@@ -73,6 +73,28 @@ def test_ppo_learns_empty_pooled_packed():
         f"last5={last:.4f}")
 
 
+def test_train_driver_smoke(tmp_path):
+    """The turnkey training driver (models/train.py): pooled fast path,
+    pool refreshes, metrics history and checkpointing all execute."""
+    import os
+
+    from minigrid_tpu.models.ppo import PPOConfig
+    from minigrid_tpu.models.train import TrainConfig, train
+
+    cfg = TrainConfig(
+        total_env_steps=16 * 8 * 6,  # 6 updates
+        ppo=PPOConfig(num_envs=16, rollout_len=8, num_epochs=1,
+                      num_minibatches=2),
+        hidden=32, pool_size=8, pool_refresh_every=2, log_every=2,
+        checkpoint_dir=str(tmp_path), checkpoint_every=3)
+    params, history = train("MiniGrid-Empty-5x5-v0", cfg)
+    assert history and all(
+        abs(m["loss"]) < 1e6 and m["env_steps"] > 0 for m in history)
+    assert history[-1]["env_steps"] == 16 * 8 * 6
+    assert os.path.exists(str(tmp_path / "step_3"))
+    assert os.path.exists(str(tmp_path / "step_6"))
+
+
 @pytest.mark.nightly
 def test_ppo_learns_doorkey():
     r = run_ppo("MiniGrid-DoorKey-5x5-v0", updates=120, num_envs=256,
