@@ -143,7 +143,8 @@ def test_layout_pool_roundtrip_and_refresh():
     assert not np.array_equal(np.asarray(pool2.buf), np.asarray(pool.buf))
 
 
-@pytest.mark.parametrize("independent", [False, True])
+@pytest.mark.parametrize("independent", [
+    False, pytest.param(True, marks=pytest.mark.nightly)])
 def test_pooled_autoreset_semantics(independent):
     """Finished envs restart from a pool layout with step_count 0 and an
     obs consistent with their new state; unfinished envs are untouched."""

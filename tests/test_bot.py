@@ -36,7 +36,6 @@ FAST_LEVELS = [
     "BabyAI-GoToLocal-v0",
     "BabyAI-GoToObjDoor-v0",
     "BabyAI-OpenDoorsOrderN4-v0",
-    "BabyAI-PickupLoc-v0",
     "BabyAI-PutNextLocal-v0",
     "BabyAI-UnlockLocal-v0",
     "BabyAI-BlockedUnlockPickup-v0",

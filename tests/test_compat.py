@@ -107,8 +107,9 @@ def test_rgb_array_render():
     env.close()
 
 
-@pytest.mark.parametrize("env_id", ["MiniGrid-Empty-8x8-v0",
-                                    "MiniGrid-DoorKey-5x5-v0"])
+@pytest.mark.parametrize("env_id", [
+    "MiniGrid-Empty-8x8-v0",
+    pytest.param("MiniGrid-DoorKey-5x5-v0", marks=pytest.mark.nightly)])
 def test_sync_vector_env(env_id):
     """gym.vector.SyncVectorEnv over the adapter (the reference's
     vectorization smoke, tests/test_envs.py:320-340)."""

