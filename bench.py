@@ -138,10 +138,8 @@ def main():
     # pool from the first POOL_SIZE layouts; staggered step_counts for the
     # auto-reset paths (desynchronized truncation; envs/base.py)
     pool_states = jax.tree.map(lambda x: x[:POOL_SIZE], states)
-    buf, spec = jax.jit(lambda t: _serialize_stacked(t)[0])(pool_states), \
-        _serialize_stacked(jax.tree.map(
-            lambda x: jnp.zeros_like(x), pool_states))[1]
-    pool = LayoutPool(buf=buf, spec=spec)
+    pool = jax.jit(
+        lambda t: LayoutPool(*_serialize_stacked(t)))(pool_states)
     offs = jax.random.randint(jax.random.PRNGKey(3), (BATCH,), 0,
                               env.params.max_steps)
     staggered = states.replace(step_count=offs)
@@ -159,8 +157,13 @@ def main():
         "metric": "doorkey8x8_env_steps_per_s_4096envs",
         "value": round(rate_packed),
         "unit": "steps/s",
+        "obs_format": "packed_int32 (policy-consumable single-lane view)",
         "vs_baseline": round(rate_packed / REFERENCE_DOORKEY_STEPS_PER_S, 2),
+        # apples-to-apples with BASELINE.md / prior rounds: the reference's
+        # uint8 image observation contract
         "pure_step_image_uint8": round(rate_uint8),
+        "vs_baseline_image_uint8": round(
+            rate_uint8 / REFERENCE_DOORKEY_STEPS_PER_S, 2),
         "autoreset_pooled": round(rate_pooled),
         "autoreset_exact": round(rate_exact),
         "ppo_train_step": round(rate_ppo),

@@ -441,5 +441,8 @@ class MiniGridEnv:
     def replace_params(self, **kw) -> "MiniGridEnv":
         env = object.__new__(type(self))
         env.__dict__.update(self.__dict__)
+        # derived envs must not inherit compiled caches keyed on the
+        # original instance (e.g. the layout-pool builder)
+        env.__dict__.pop("_pool_builder", None)
         env.params = dataclasses.replace(self.params, **kw)
         return env

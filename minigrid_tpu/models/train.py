@@ -54,7 +54,6 @@ def train(env_id: str, cfg: TrainConfig = TrainConfig(),
     k_init, k_env, k_pool, key = jax.random.split(key, 4)
     params = init_params(k_init, view_size=env.params.view_size,
                          model=model, packed=cfg.packed_obs)
-    opt_state = opt.init(params)
 
     pooled = cfg.pool_size > 0
     pool = (make_layout_pool(env, k_pool, cfg.pool_size) if pooled else None)
@@ -65,7 +64,6 @@ def train(env_id: str, cfg: TrainConfig = TrainConfig(),
 
         mesh = M.make_mesh(cfg.devices, model_parallel=1)
         params = M.shard_params(mesh, params)
-        opt_state = opt.init(params)
         reset = jax.jit(jax.vmap(env.reset_staggered),
                         out_shardings=(M.batch_sharding(mesh),) * 2)
         train_step = jax.jit(
@@ -77,6 +75,7 @@ def train(env_id: str, cfg: TrainConfig = TrainConfig(),
     else:
         reset = jax.jit(jax.vmap(env.reset_staggered))
         train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+    opt_state = opt.init(params)  # after optional sharding: init once
 
     obs, st = reset(jax.random.split(k_env, pcfg.num_envs))
 

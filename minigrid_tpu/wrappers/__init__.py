@@ -60,6 +60,34 @@ class Wrapper:
     def vector(self, n: int):
         return jax.vmap(self.reset), jax.vmap(self.step_autoreset)
 
+    # -- base-env-only surfaces ------------------------------------------
+    # Without these overrides __getattr__ would silently delegate to the
+    # INNER env, bypassing the wrapper's transforms (e.g. pooled resets
+    # would emit un-wrapped observations). Fail loudly instead.
+    def step_autoreset_pooled(self, *a, **kw):
+        raise NotImplementedError(
+            "the pooled auto-reset fast path operates on bare envs; "
+            "wrapped envs use step_autoreset (exact resets), or apply "
+            "wrappers after stepping")
+
+    def make_pool(self, *a, **kw):
+        raise NotImplementedError(
+            "LayoutPool stores bare EnvStates; build the pool from the "
+            "unwrapped env (env.unwrapped().make_pool(...)) and use the "
+            "pooled path on the bare env")
+
+    def packed(self, *a, **kw):
+        raise NotImplementedError(
+            "packed observations bypass wrapper observation transforms; "
+            "call .packed() on the bare env")
+
+    def unwrapped(self):
+        """The innermost bare environment."""
+        env = self.env
+        while isinstance(env, Wrapper):
+            env = env.env
+        return env
+
 
 class ObservationWrapper(Wrapper):
     """Stateless observation transform; override :meth:`observation`."""

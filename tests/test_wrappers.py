@@ -173,3 +173,21 @@ def test_stochastic_action_smoke():
         obs, state, *_ = step(jax.random.PRNGKey(i), state, 6)  # 'done' no-op
         dirs.add(int(state.agent_dir))
     assert len(dirs) > 1, "replacement actions never fired"
+
+
+def test_wrapper_blocks_base_only_fast_paths():
+    """The pooled/packed fast paths are base-env-only; a wrapper must fail
+    loudly instead of silently delegating past its transforms."""
+    import pytest as _pytest
+
+    import minigrid_tpu
+    from minigrid_tpu import wrappers as W
+
+    env = W.ImgObsWrapper(minigrid_tpu.make("MiniGrid-Empty-5x5-v0"))
+    with _pytest.raises(NotImplementedError):
+        env.packed()
+    with _pytest.raises(NotImplementedError):
+        env.make_pool(None, 4)
+    with _pytest.raises(NotImplementedError):
+        env.step_autoreset_pooled(None, None, None, None)
+    assert env.unwrapped() is env.env
