@@ -1,12 +1,14 @@
-"""TPU fast-path ops.
+"""TPU fast-path ops (Pallas kernels).
 
-A Pallas fused-rollout kernel (state resident in VMEM across a whole rollout
-chunk) was prototyped here in round 1 but hit a Mosaic internal compiler
-error on real TPU hardware and never beat the XLA path, so it was removed:
-``jit(scan(vmap(step)))`` (bench.py) already keeps the hot loop on-device at
->100M env-steps/s, because XLA fuses the branchless step/obs math into a few
-kernels on its own. If a hand-written kernel returns, it must prove a
-hardware win over bench.py first.
+``fused_step.fused_rollout`` runs a whole rollout chunk of step+obs with
+each 128-env block's state resident in VMEM, envs on the lane dimension —
+bit-exact against the jit/vmap path (tests/test_fused_step.py) and within
+~10% of it on chip (185-191M vs 213M env-steps/s on DoorKey-8x8; see the
+module docstring for why the XLA path's axis-separated window read wins).
+Kept as a validated alternative and as the scaffold for kernels XLA cannot
+express; the production hot path remains ``jit(scan(...))`` (bench.py).
 """
 
-__all__: list[str] = []
+from minigrid_tpu.ops.fused_step import fused_rollout
+
+__all__ = ["fused_rollout"]
