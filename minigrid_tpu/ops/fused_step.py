@@ -32,7 +32,11 @@ use an axis-separated window read (~3x fewer VPU ops than this kernel's
 direct one-hot contraction, core/obs.py:62-93), which dominates. The
 compiler's fusion of the hot path is genuinely good; this kernel is kept
 as a validated, tested alternative and as the scaffold for kernels XLA
-cannot express (e.g. conditional per-env DMA).
+cannot express (e.g. conditional per-env DMA). Also tried: an
+axis-aligned box read + static rotation permutations (~2.5x fewer
+arithmetic ops) measured 110M — the per-row slice/concat relayouts it
+needs are far more expensive under Mosaic than the uniform (V*V, 128)
+select-accumulate passes here.
 """
 
 from __future__ import annotations
