@@ -35,7 +35,9 @@ import jax.numpy as jnp
 
 import minigrid_tpu
 from minigrid_tpu.core.obs import gen_obs
-from minigrid_tpu.envs.base import LayoutPool, _serialize_stacked
+from minigrid_tpu.envs.base import (LayoutPool, _serialize_stacked,
+                                    autoreset_step_presampled,
+                                    presample_reset_states)
 
 REFERENCE_DOORKEY_STEPS_PER_S = 8300.0  # BASELINE.md, 1 CPU core
 ENV_ID = "MiniGrid-DoorKey-8x8-v0"
@@ -52,26 +54,34 @@ def bench_step(env, mode: str, states, chunk=4096, repeats=6, pool=None):
     elif mode == "autoreset_exact":
         step = jax.vmap(env.step_autoreset)
     else:
-        step = env.step_autoreset_pooled  # batched-native
+        step = None  # pooled: presampled broadcast resets (envs/base.py)
 
     def run_chunk(state, key, pool):
         key, k_act, k_step = jax.random.split(key, 3)
         actions = jax.random.randint(k_act, (chunk, batch), 0, 7)
         step_keys = jax.vmap(lambda i: jax.random.fold_in(k_step, i))(
             jnp.arange(chunk))
+        if pool is not None:
+            key, k_pre = jax.random.split(key)
+            xs = (step_keys, actions,
+                  presample_reset_states(k_pre, pool, chunk))
+        else:
+            xs = (step_keys, actions)
 
         def body(carry, xs):
             (state,) = carry
-            k, a = xs
+            k, a = xs[0], xs[1]
             keys = jax.random.split(k, batch)
-            extra = (pool,) if pool is not None else ()
-            obs, state, reward, term, trunc, _ = step(keys, state, a, *extra)
+            if pool is not None:
+                obs, state, reward, term, trunc, _ = \
+                    autoreset_step_presampled(env, keys, state, a, xs[2])
+            else:
+                obs, state, reward, term, trunc, _ = step(keys, state, a)
             # consume obs so observation generation stays in the graph
             probe = obs[obs_key].astype(jnp.int32).sum() + reward.sum()
             return (state,), probe
 
-        (state,), probes = jax.lax.scan(body, (state,), (step_keys, actions),
-                                        unroll=8)
+        (state,), probes = jax.lax.scan(body, (state,), xs, unroll=8)
         return state, key, probes.sum()
 
     run_chunk = jax.jit(run_chunk, donate_argnums=(0,))

@@ -216,6 +216,36 @@ def refresh_layout_pool(env, key, pool: LayoutPool) -> LayoutPool:
     return make_layout_pool(env, key, pool.size)
 
 
+def presample_reset_states(key, pool: LayoutPool, length: int) -> "EnvState":
+    """Draw ``length`` fresh broadcast reset states from the pool, stacked
+    on a leading axis — ONE per upcoming rollout step. Feed as the scan's
+    per-step xs to :func:`autoreset_step_presampled`: the row gather and
+    the bit-unpacking then happen once per chunk outside the hot loop,
+    leaving only the broadcast select inside it."""
+    idx = jax.random.randint(key, (length,), 0, pool.size)
+    rows = pool.buf[idx]
+    return jax.vmap(_deserialize_row, in_axes=(0, None))(rows, pool.spec)
+
+
+def autoreset_step_presampled(env, keys, states, actions,
+                              reset_state: "EnvState"):
+    """BATCHED auto-resetting step whose broadcast reset state for THIS
+    step was pre-deserialized outside the scan (see
+    :func:`presample_reset_states`). Semantics identical to the default
+    mode of :func:`autoreset_step_pooled`; this is the form the rollout
+    drivers compile."""
+    from minigrid_tpu.core.obs import gen_obs
+
+    st, reward, term, trunc = jax.vmap(env.step_state)(keys, states, actions)
+    done = term | trunc
+    bdone = lambda x: done.reshape((-1,) + (1,) * (x.ndim - 1))
+    rng_r = keys ^ jnp.asarray([0x5DEECE66, 0xB5297A4D], keys.dtype)
+    st_r = reset_state.replace(rng=rng_r)  # batched rng; rest broadcasts
+    st = jax.tree.map(lambda a, b: jnp.where(bdone(a), b, a), st, st_r)
+    obs = jax.vmap(lambda s: gen_obs(env.params, s))(st)
+    return obs, st, reward, term, trunc, {}
+
+
 def autoreset_step_pooled(env, keys, states, actions, pool: LayoutPool,
                           independent: bool = False):
     """BATCHED auto-resetting step whose resets come from ``pool`` instead

@@ -90,12 +90,13 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
     else:
         assert cfg.shuffle == "sample", cfg.shuffle
     if pooled:
-        step_env = env.step_autoreset_pooled  # batched-native (no vmap)
+        from minigrid_tpu.envs.base import (autoreset_step_presampled,
+                                            presample_reset_states)
     else:
         step_env = jax.vmap(env.step_autoreset)
 
     def rollout(params, env_state, obs, key, pool):
-        def body(carry, _):
+        def body(carry, st_r):
             env_state, obs, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
             logits, value = model.apply(params, obs)
@@ -104,16 +105,26 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                 jnp.arange(action.shape[0]), action
             ]
             keys = jax.random.split(k_step, action.shape[0])
-            extra = (pool,) if pooled else ()
-            obs2, env_state2, reward, term, trunc, _ = step_env(
-                keys, env_state, action, *extra
-            )
+            if pooled:
+                # broadcast reset state for this step, pre-deserialized
+                # outside the scan (envs/base.py presample_reset_states)
+                obs2, env_state2, reward, term, trunc, _ = \
+                    autoreset_step_presampled(env, keys, env_state, action,
+                                              st_r)
+            else:
+                obs2, env_state2, reward, term, trunc, _ = step_env(
+                    keys, env_state, action)
             t = Transition(_compact_obs(obs), action, log_prob, value,
                            reward, term | trunc)
             return (env_state2, obs2, key), t
 
+        if pooled:
+            key, k_pre = jax.random.split(key)
+            xs = presample_reset_states(k_pre, pool, cfg.rollout_len)
+        else:
+            xs = None
         (env_state, obs, key), traj = jax.lax.scan(
-            body, (env_state, obs, key), None, length=cfg.rollout_len
+            body, (env_state, obs, key), xs, length=cfg.rollout_len
         )
         return env_state, obs, key, traj
 

@@ -31,12 +31,13 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
     argument (the fast training-loop path; see envs/base.py)."""
 
     if pooled:
-        step = env.step_autoreset_pooled  # batched-native (no vmap)
+        from minigrid_tpu.envs.base import (autoreset_step_presampled,
+                                            presample_reset_states)
     else:
         step = jax.vmap(env.step_autoreset)
 
     def rollout(params, env_state, obs, key, pool=None):
-        def body(carry, _):
+        def body(carry, st_r):
             env_state, obs, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
             batch = jax.tree.leaves(obs)[0].shape[0]
@@ -46,14 +47,23 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
                 logits = policy_fn(params, obs)
                 action = jax.random.categorical(k_act, logits)
             keys = jax.random.split(k_step, batch)
-            extra = (pool,) if pooled else ()
-            obs2, env_state2, reward, term, trunc, _ = step(keys, env_state,
-                                                            action, *extra)
+            if pooled:
+                obs2, env_state2, reward, term, trunc, _ = \
+                    autoreset_step_presampled(env, keys, env_state, action,
+                                              st_r)
+            else:
+                obs2, env_state2, reward, term, trunc, _ = step(
+                    keys, env_state, action)
             return (env_state2, obs2, key), RolloutChunk(
                 obs, action, reward, term | trunc)
 
+        if pooled:
+            key, k_pre = jax.random.split(key)
+            xs = presample_reset_states(k_pre, pool, length)
+        else:
+            xs = None
         (env_state, obs, key), chunk = jax.lax.scan(
-            body, (env_state, obs, key), None, length=length)
+            body, (env_state, obs, key), xs, length=length)
         return env_state, obs, key, chunk
 
     return rollout

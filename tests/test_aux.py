@@ -284,3 +284,39 @@ def test_pprint_and_agent_sees_match_reference():
             if grid[x, y, 0] != 1:  # non-empty cells only
                 assert agent_sees(env.params, state, x, y) == \
                     ref.agent_sees(x, y), (x, y)
+
+
+def test_presampled_autoreset_matches_pooled_semantics():
+    """The driver-compiled form (presample_reset_states +
+    autoreset_step_presampled) restarts finished envs from the given
+    broadcast state with fresh rng and consistent obs."""
+    from minigrid_tpu.core.obs import gen_obs
+    from minigrid_tpu.envs.base import (autoreset_step_presampled,
+                                        make_layout_pool,
+                                        presample_reset_states)
+
+    env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0")
+    pool = make_layout_pool(env, jax.random.PRNGKey(0), 8)
+    B = 16
+    obs, st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(1), B))
+    st = st.replace(step_count=jnp.where(
+        jnp.arange(B) % 4 == 0, env.params.max_steps - 1, 0))
+    st_rs = presample_reset_states(jax.random.PRNGKey(5), pool, 3)
+    st_r0 = jax.tree.map(lambda x: x[0], st_rs)
+    step = jax.jit(lambda k, s, a, r: autoreset_step_presampled(
+        env, k, s, a, r))
+    o2, s2, r, te, tr, _ = step(jax.random.split(jax.random.PRNGKey(2), B),
+                                st, jnp.full((B,), 6, jnp.int32), st_r0)
+    done = np.asarray(te | tr)
+    assert done.sum() == 4
+    assert np.asarray(s2.step_count)[done].max() == 0
+    pool_grids = [np.asarray(pool.entry(i).grid) for i in range(8)]
+    for b in np.nonzero(done)[0]:
+        g = np.asarray(s2.grid[b])
+        assert any(np.array_equal(g, pg) for pg in pool_grids)
+        o_direct = gen_obs(env.params, jax.tree.map(lambda x: x[b], s2))
+        np.testing.assert_array_equal(np.asarray(o2["image"][b]),
+                                      np.asarray(o_direct["image"]))
+    rngs = np.asarray(s2.rng)[np.nonzero(done)[0]]
+    assert len({tuple(x) for x in rngs}) == done.sum()
