@@ -227,6 +227,22 @@ def presample_reset_states(key, pool: LayoutPool, length: int) -> "EnvState":
     return jax.vmap(_deserialize_row, in_axes=(0, None))(rows, pool.spec)
 
 
+def _apply_broadcast_reset(env, keys, st, done, st_r):
+    """Shared tail of the pooled auto-reset: select the (broadcast) reset
+    state into finished envs with fresh per-env episode RNG, then generate
+    the observation once on the post-select state. The fresh RNG is a
+    distinct constant XORed into each env's (already random) step key —
+    an independent key stream under counter-based hashing without a
+    per-env threefry pass."""
+    from minigrid_tpu.core.obs import gen_obs
+
+    bdone = lambda x: done.reshape((-1,) + (1,) * (x.ndim - 1))
+    rng_r = keys ^ jnp.asarray([0x5DEECE66, 0xB5297A4D], keys.dtype)
+    st_r = st_r.replace(rng=rng_r)  # batched rng; the rest broadcasts
+    st = jax.tree.map(lambda a, b: jnp.where(bdone(a), b, a), st, st_r)
+    return jax.vmap(lambda s: gen_obs(env.params, s))(st), st
+
+
 def autoreset_step_presampled(env, keys, states, actions,
                               reset_state: "EnvState"):
     """BATCHED auto-resetting step whose broadcast reset state for THIS
@@ -234,15 +250,9 @@ def autoreset_step_presampled(env, keys, states, actions,
     :func:`presample_reset_states`). Semantics identical to the default
     mode of :func:`autoreset_step_pooled`; this is the form the rollout
     drivers compile."""
-    from minigrid_tpu.core.obs import gen_obs
-
     st, reward, term, trunc = jax.vmap(env.step_state)(keys, states, actions)
-    done = term | trunc
-    bdone = lambda x: done.reshape((-1,) + (1,) * (x.ndim - 1))
-    rng_r = keys ^ jnp.asarray([0x5DEECE66, 0xB5297A4D], keys.dtype)
-    st_r = reset_state.replace(rng=rng_r)  # batched rng; rest broadcasts
-    st = jax.tree.map(lambda a, b: jnp.where(bdone(a), b, a), st, st_r)
-    obs = jax.vmap(lambda s: gen_obs(env.params, s))(st)
+    obs, st = _apply_broadcast_reset(env, keys, st, term | trunc,
+                                     reset_state)
     return obs, st, reward, term, trunc, {}
 
 
@@ -298,10 +308,20 @@ def autoreset_step_pooled(env, keys, states, actions, pool: LayoutPool,
         row_i = jax.random.randint(k_pool, (), 0, pool.size)
         row = jax.lax.dynamic_slice_in_dim(pool.buf, row_i, 1, axis=0)[0]
         st_r = _deserialize_row(row, pool.spec)  # UNBATCHED: broadcast in
-        st_r = st_r.replace(rng=rng_r)  # batched; the rest broadcasts
-        st = jax.tree.map(lambda a, b: jnp.where(bdone(a), b, a), st, st_r)
+        obs, st = _apply_broadcast_reset(env, keys, st, done, st_r)
+        return obs, st, reward, term, trunc, {}
     obs = jax.vmap(lambda s: gen_obs(env.params, s))(st)
     return obs, st, reward, term, trunc, {}
+
+
+def require_bare_env(env, what: str):
+    """The pooled fast paths run env.step_state/gen_obs directly, which on
+    a wrapped env would silently resolve past the wrapper's transforms —
+    fail loudly instead (mirrors Wrapper.step_autoreset_pooled)."""
+    if not isinstance(env, MiniGridEnv):
+        raise NotImplementedError(
+            f"{what} operates on bare envs (got {type(env).__name__}); "
+            "wrapped envs use the exact-reset step_autoreset path")
 
 
 class MiniGridEnv:

@@ -86,12 +86,22 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
     """
 
     if cfg.shuffle == "timestep":
-        assert cfg.rollout_len % cfg.num_minibatches == 0
+        assert cfg.rollout_len % cfg.num_minibatches == 0, (
+            f"timestep shuffling needs rollout_len ({cfg.rollout_len}) "
+            f"divisible by num_minibatches ({cfg.num_minibatches})")
     else:
         assert cfg.shuffle == "sample", cfg.shuffle
+        assert (cfg.num_envs * cfg.rollout_len) % cfg.num_minibatches == 0, (
+            f"sample shuffling needs num_envs*rollout_len "
+            f"({cfg.num_envs * cfg.rollout_len}) divisible by "
+            f"num_minibatches ({cfg.num_minibatches}) — a remainder would "
+            "silently drop/overlap tail samples")
     if pooled:
         from minigrid_tpu.envs.base import (autoreset_step_presampled,
-                                            presample_reset_states)
+                                            presample_reset_states,
+                                            require_bare_env)
+
+        require_bare_env(env, "make_train_step(pooled=True)")
     else:
         step_env = jax.vmap(env.step_autoreset)
 

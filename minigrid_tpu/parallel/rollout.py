@@ -32,7 +32,10 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
 
     if pooled:
         from minigrid_tpu.envs.base import (autoreset_step_presampled,
-                                            presample_reset_states)
+                                            presample_reset_states,
+                                            require_bare_env)
+
+        require_bare_env(env, "make_rollout(pooled=True)")
     else:
         step = jax.vmap(env.step_autoreset)
 

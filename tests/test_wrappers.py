@@ -191,3 +191,24 @@ def test_wrapper_blocks_base_only_fast_paths():
     with _pytest.raises(NotImplementedError):
         env.step_autoreset_pooled(None, None, None, None)
     assert env.unwrapped() is env.env
+
+
+def test_pooled_drivers_reject_wrapped_envs():
+    """make_train_step/make_rollout with pooled=True must fail loudly on a
+    wrapped env rather than resolving step_state past the wrapper."""
+    import pytest as _pytest
+
+    import minigrid_tpu
+    from minigrid_tpu import wrappers as W
+    from minigrid_tpu.models.actor_critic import ActorCritic
+    from minigrid_tpu.models.ppo import (PPOConfig, make_optimizer,
+                                         make_train_step)
+    from minigrid_tpu.parallel.rollout import make_rollout
+
+    env = W.FullyObsWrapper(minigrid_tpu.make("MiniGrid-Empty-5x5-v0"))
+    cfg = PPOConfig(num_envs=8, rollout_len=8, num_minibatches=2)
+    with _pytest.raises(NotImplementedError):
+        make_train_step(env, ActorCritic(hidden=16), cfg,
+                        make_optimizer(cfg), pooled=True)
+    with _pytest.raises(NotImplementedError):
+        make_rollout(env, None, length=8, pooled=True)
