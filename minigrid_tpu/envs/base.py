@@ -17,7 +17,6 @@ analog of per-env ``step`` overrides, e.g. envs/fetch.py:161-175).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax
