@@ -54,17 +54,21 @@ def encode_packed(cells: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
                           dtype)
 
 
-def encode_obs(obs: dict, dtype=jnp.bfloat16) -> dict:
+def encode_obs(obs: dict, dtype=jnp.uint8) -> dict:
     """Raw env observation -> the policy's parameter-free input encoding:
-    ``{"img_feat": bf16 (..., V*V*20), "mission_counts": uint8 (..., VOCAB),
-    "direction": int32}``.
+    ``{"img_feat": uint8 0/1 (..., V*V*20), "mission_counts": uint8
+    (..., VOCAB), "direction": int32}``.
 
     This is the form the PPO rollout stores in its trajectory buffer: the
     one-hot planes, the lane-padded flatten copy, and the token-count
     compare+reduce each run ONCE per collected sample (shared with the
     behaviour-policy forward) instead of once more per epoch x minibatch in
     the update phase — profiled at ~2.6 ms of the 6.1 ms minibatch on the
-    chip. ``__call__`` consumes either this encoding or raw observations.
+    chip. Features are uint8 (values exactly 0/1): half the HBM traffic of
+    bf16 through the buffer write, minibatch slice, and layout copies, and
+    the MXU matmuls convert u8 operands inside the matmul fusion (verified
+    in the profile), so no bf16 copy is ever materialized. ``__call__``
+    consumes either this encoding or raw observations.
     """
     if "img_feat" in obs:
         return obs

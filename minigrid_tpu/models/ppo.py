@@ -122,9 +122,11 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             .astype(jnp.uint8)
 
     def rollout(params, env_state, obs, key, pool):
+        B, T = cfg.num_envs, cfg.rollout_len
+
         def body(carry, xs_t):
-            env_state, obs, counts, key = carry
-            key, k_act, k_step = jax.random.split(key, 3)
+            env_state, obs, counts = carry
+            keys, gumbel = xs_t[0], xs_t[1]
             # parameter-free encoding computed ONCE: feeds the behaviour
             # forward AND the trajectory buffer, so the update phase never
             # rebuilds one-hot planes (models/actor_critic.py encode_obs).
@@ -141,11 +143,14 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             else:
                 enc = encode_obs(obs)
             logits, value = model.apply(params, enc)
-            action = jax.random.categorical(k_act, logits)
+            # categorical sampling with presampled Gumbel noise (all
+            # per-step randomness — action noise and env step keys — is
+            # drawn in two batched passes outside the scan and fed through
+            # xs: in-loop threefry chains serialize ~1 ms per rollout)
+            action = jnp.argmax(logits + gumbel, axis=-1)
             log_prob = _selected_log_prob(jax.nn.log_softmax(logits), action)
-            keys = jax.random.split(k_step, action.shape[0])
             if pooled:
-                st_r, counts_r = xs_t
+                st_r, counts_r = xs_t[2], xs_t[3]
                 # broadcast reset state for this step, pre-deserialized
                 # outside the scan (envs/base.py presample_reset_states)
                 obs2, env_state2, reward, term, trunc, _ = \
@@ -156,24 +161,23 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             else:
                 obs2, env_state2, reward, term, trunc, _ = step_env(
                     keys, env_state, action)
-            # store one-hot features as uint8 (values are exactly 0/1):
-            # halves the trajectory buffer's HBM traffic (write, layout
-            # copy, minibatch slice); the loss casts back to bf16 in the
-            # slice fusion
-            t = Transition(
-                enc | {"img_feat": enc["img_feat"].astype(jnp.uint8)},
-                action, log_prob, value, reward, term | trunc)
-            return (env_state2, obs2, counts, key), t
+            t = Transition(enc, action, log_prob, value, reward,
+                           term | trunc)
+            return (env_state2, obs2, counts), t
 
         counts0 = _counts(obs["mission"])
+        key, k_act, k_step = jax.random.split(key, 3)
+        step_keys = jax.random.split(k_step, T * B).reshape(T, B, 2)
+        gumbel = jax.random.gumbel(k_act, (T, B, model.num_actions),
+                                   jnp.float32)
         if pooled:
             key, k_pre = jax.random.split(key)
             st_r = presample_reset_states(k_pre, pool, cfg.rollout_len)
-            xs = (st_r, _counts(st_r.mission))
+            xs = (step_keys, gumbel, st_r, _counts(st_r.mission))
         else:
-            xs = None
-        (env_state, obs, counts0, key), traj = jax.lax.scan(
-            body, (env_state, obs, counts0, key), xs, length=cfg.rollout_len
+            xs = (step_keys, gumbel)
+        (env_state, obs, counts0), traj = jax.lax.scan(
+            body, (env_state, obs, counts0), xs, length=cfg.rollout_len
         )
         return env_state, obs, key, traj
 
@@ -273,13 +277,14 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                 mbt = T // cfg.num_minibatches
 
                 def get_mb(i):
+                    # keep the (mbt, B, ...) shape: the loss is shape-
+                    # polymorphic, and NOT merging the leading dims lets
+                    # XLA feed the sliced slab to the matmuls without the
+                    # (mbt*B, F) relayout copy
                     j = (i + off) % cfg.num_minibatches
-                    sl = jax.tree.map(
+                    return jax.tree.map(
                         lambda x: jax.lax.dynamic_slice_in_dim(
                             x, j * mbt, mbt), data)
-                    return jax.tree.map(
-                        lambda x: x.reshape(x.shape[0] * x.shape[1],
-                                            *x.shape[2:]), sl)
 
             def mini(carry, i):
                 params, opt_state = carry
