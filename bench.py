@@ -36,7 +36,9 @@ import jax.numpy as jnp
 import minigrid_tpu
 from minigrid_tpu.core.obs import gen_obs
 from minigrid_tpu.envs.base import (LayoutPool, _serialize_stacked,
+                                    autoreset_step_fresh,
                                     autoreset_step_presampled,
+                                    presample_fresh_reset_states,
                                     presample_reset_states)
 
 REFERENCE_DOORKEY_STEPS_PER_S = 8300.0  # BASELINE.md, 1 CPU core
@@ -52,7 +54,12 @@ def bench_step(env, mode: str, states, chunk=4096, repeats=6, pool=None):
     if mode == "pure":
         step = jax.vmap(env.step)
     elif mode == "autoreset_exact":
-        step = jax.vmap(env.step_autoreset)
+        # fresh-buffer exact path (envs/base.py autoreset_step_fresh): a
+        # per-chunk buffer of independent _gen_grid draws, consumed at most
+        # once each via cursor + rank routing. Buffer sized to expected
+        # consumption (~B/max_steps per step, staggered) plus a CLT margin.
+        step = None
+        n_buf = int(chunk * batch / env.params.max_steps * 1.15) + 256
     else:
         step = None  # pooled: presampled broadcast resets (envs/base.py)
 
@@ -67,21 +74,28 @@ def bench_step(env, mode: str, states, chunk=4096, repeats=6, pool=None):
                   presample_reset_states(k_pre, pool, chunk))
         else:
             xs = (step_keys, actions)
+        if mode == "autoreset_exact":
+            key, k_gen = jax.random.split(key)
+            buffer = presample_fresh_reset_states(env, k_gen, n_buf)
 
         def body(carry, xs):
-            (state,) = carry
+            state, cursor = carry
             k, a = xs[0], xs[1]
             keys = jax.random.split(k, batch)
-            if pool is not None:
+            if mode == "autoreset_exact":
+                obs, state, reward, term, trunc, _, cursor = \
+                    autoreset_step_fresh(env, keys, state, a, buffer, cursor)
+            elif pool is not None:
                 obs, state, reward, term, trunc, _ = \
                     autoreset_step_presampled(env, keys, state, a, xs[2])
             else:
                 obs, state, reward, term, trunc, _ = step(keys, state, a)
             # consume obs so observation generation stays in the graph
             probe = obs[obs_key].astype(jnp.int32).sum() + reward.sum()
-            return (state,), probe
+            return (state, cursor), probe
 
-        (state,), probes = jax.lax.scan(body, (state,), xs, unroll=8)
+        (state, _), probes = jax.lax.scan(
+            body, (state, jnp.zeros((), jnp.int32)), xs, unroll=8)
         return state, key, probes.sum()
 
     run_chunk = jax.jit(run_chunk, donate_argnums=(0,))
@@ -159,8 +173,7 @@ def main():
     rate_packed = bench_step(envp, "pure", states)
     rate_uint8 = bench_step(env, "pure", states)
     rate_pooled = bench_step(envp, "autoreset_pooled", staggered, pool=pool)
-    rate_exact = bench_step(envp, "autoreset_exact", staggered, chunk=512,
-                            repeats=4)
+    rate_exact = bench_step(envp, "autoreset_exact", staggered)
     rate_ppo = bench_ppo(envp, pool, staggered, obs_p)
 
     print(json.dumps({

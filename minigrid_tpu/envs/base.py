@@ -313,6 +313,76 @@ def autoreset_step_pooled(env, keys, states, actions, pool: LayoutPool,
     return obs, st, reward, term, trunc, {}
 
 
+# ---------------------------------------------------------------------------
+# Fresh-buffer exact-distribution auto-reset: the double-buffered scheme.
+# A chunk pre-generates N FRESH `_gen_grid` layouts (vmapped, inside the
+# same compiled program — device cost ~0.05 us/layout; only a separate
+# dispatch pays tunnel latency) and consumes them through a cursor: the
+# r-th env finishing a step takes buffer row cursor+r, so every reset is an
+# independent fresh draw consumed AT MOST ONCE — exact reference reset
+# semantics (minigrid/minigrid_env.py:119-157) without the broadcast-row
+# pooled path's same-step layout sharing, at ~pooled speed.
+# ---------------------------------------------------------------------------
+
+def presample_fresh_reset_states(env, key, n: int) -> "EnvState":
+    """``n`` independent fresh layouts, stacked on a leading axis.
+
+    Size ``n`` above the chunk's expected consumption: resets arrive at
+    ~B/max_steps per step (staggered), so ``n >= steps * B/max_steps +
+    4*sqrt(...)`` leaves overflow probability negligible; the consumer
+    clamps its window at the buffer end as a last resort."""
+    return jax.vmap(env._gen_grid)(jax.random.split(key, n))
+
+
+def autoreset_step_fresh(env, keys, states, actions, buffer: "EnvState",
+                         cursor, window: int = 32):
+    """BATCHED auto-resetting step with exact reset distribution.
+
+    ``buffer`` holds stacked fresh states (see
+    :func:`presample_fresh_reset_states`); ``cursor`` (scalar int32) counts
+    rows consumed so far this chunk. Envs finishing this step are ranked
+    (cumsum of the done mask) and env with rank r restarts from buffer row
+    ``cursor + r``; the cursor advances by the number of finishers, so no
+    row is consumed twice. Routing reads a ``window``-row dynamic slice and
+    mixes it into finished envs with a one-hot (B, window) contraction in
+    f32 — exact for every state leaf (one nonzero term per row; integer
+    leaves stay below 2^24) except ``rng``, which is instead refreshed from
+    this step's keys like the other reset paths. ``window`` bounds
+    same-step finishers: ranks beyond it share the last row (with
+    staggered resets the finisher count is ~Poisson(B/max_steps); keep
+    window >= 4x that mean). Returns ``(obs, state, reward, terminated,
+    truncated, info, new_cursor)``.
+    """
+    from minigrid_tpu.core.obs import gen_obs
+
+    n_buf = jax.tree.leaves(buffer)[0].shape[0]
+    st, reward, term, trunc = jax.vmap(env.step_state)(keys, states, actions)
+    done = term | trunc
+    B = done.shape[0]
+    rank = jnp.cumsum(done) - done  # exclusive rank among finishers
+    slot = jnp.minimum(rank, window - 1)
+    oh = ((slot[:, None] == jnp.arange(window)) & done[:, None]).astype(
+        jnp.float32)
+    start = jnp.minimum(cursor, n_buf - window)
+    win = jax.tree.map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, start, window), buffer)
+
+    bdone = lambda x: done.reshape((-1,) + (1,) * (x.ndim - 1))
+
+    def route(leaf, cand):
+        mixed = (oh @ cand.reshape(window, -1).astype(jnp.float32))
+        mixed = mixed.reshape(B, *cand.shape[1:]).astype(leaf.dtype)
+        return jnp.where(bdone(leaf), mixed, leaf)
+
+    st = jax.tree.map(route, st, win)
+    # fresh per-env episode RNG (rng routed above is f32-lossy garbage and
+    # must not be kept): same construction as _apply_broadcast_reset
+    rng_r = keys ^ jnp.asarray([0x5DEECE66, 0xB5297A4D], keys.dtype)
+    st = st.replace(rng=jnp.where(done[:, None], rng_r, st.rng))
+    obs = jax.vmap(lambda s: gen_obs(env.params, s))(st)
+    return obs, st, reward, term, trunc, {}, cursor + done.sum()
+
+
 def require_bare_env(env, what: str):
     """The pooled fast paths run env.step_state/gen_obs directly, which on
     a wrapped env would silently resolve past the wrapper's transforms —

@@ -303,3 +303,108 @@ def test_dynamic_obstacles_step_dynamics():
 def test_generation_distribution_smoke():
     """Default-tier guardrail at small N (coarse errors only)."""
     compare("MiniGrid-DoorKey-5x5-v0", 1_500)
+
+
+def test_fresh_autoreset_routing():
+    """Structural guard for the fresh-buffer exact auto-reset
+    (envs/base.py autoreset_step_fresh): every finishing env restarts from
+    exactly its rank-assigned buffer row (an independent fresh draw), the
+    cursor advances by the finisher count, and same-step finishers get
+    DISTINCT layouts — the property the broadcast-row pooled path lacks."""
+    import jax.numpy as jnp
+
+    import minigrid_tpu
+    from minigrid_tpu.envs.base import (autoreset_step_fresh,
+                                        presample_fresh_reset_states)
+
+    env = minigrid_tpu.make("MiniGrid-DoorKey-8x8-v0").packed()
+    B = 64
+    _, st = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(0), B))
+    st = st.replace(step_count=jnp.where(
+        jnp.arange(B) % 2 == 0, env.params.max_steps - 1, st.step_count))
+    buf = presample_fresh_reset_states(env, jax.random.PRNGKey(9), 128)
+    sk = jax.random.split(jax.random.PRNGKey(1), B)
+    _, st2, _, term, trunc, _, cur = jax.jit(
+        lambda k, s, a, b: autoreset_step_fresh(
+            env, k, s, a, b, jnp.zeros((), jnp.int32)))(
+        sk, st, jnp.zeros((B,), jnp.int32), buf)
+    done = np.asarray(term | trunc)
+    assert done.sum() == B // 2
+    assert int(cur) == done.sum()
+    rank = np.cumsum(done) - done
+    sigs = set()
+    for b in range(B):
+        if not done[b]:
+            continue
+        r = int(rank[b])
+        assert (np.asarray(st2.grid[b]) == np.asarray(buf.grid[r])).all()
+        assert (np.asarray(st2.agent_pos[b])
+                == np.asarray(buf.agent_pos[r])).all()
+        assert int(st2.step_count[b]) == 0
+        sigs.add((np.asarray(st2.grid[b]).tobytes(),
+                  tuple(np.asarray(st2.agent_pos[b])),
+                  int(st2.agent_dir[b])))
+    # independent 8x8 draws collide with negligible probability
+    assert len(sigs) >= done.sum() - 2, (
+        f"same-step finishers shared layouts: {len(sigs)}/{done.sum()}")
+
+
+@pytest.mark.nightly
+def test_fresh_autoreset_reset_distribution():
+    """Layouts entered through the fresh-buffer exact auto-reset path match
+    the reference's reset() distribution — sampling EVERY finisher, not one
+    per step: unlike the pooled broadcast-row path, every reset is an
+    independent fresh draw, so no same-step-sharing caveat applies."""
+    import jax.numpy as jnp
+
+    import minigrid_tpu
+    from minigrid_tpu.envs.base import (autoreset_step_fresh,
+                                        presample_fresh_reset_states)
+
+    env_id = "MiniGrid-DoorKey-5x5-v0"
+    env = minigrid_tpu.make(env_id).replace_params(max_steps=8)
+    B, T, CHUNKS = 128, 40, 4
+    obs, st = jax.jit(jax.vmap(env.reset_staggered))(
+        jax.random.split(jax.random.PRNGKey(1), B))
+    n_buf = int(T * B / env.params.max_steps * 1.3) + 64
+
+    def chunk(st, ck):
+        buf = presample_fresh_reset_states(
+            env, jax.random.fold_in(ck, 7), n_buf)
+
+        def body(carry, k):
+            st, cur = carry
+            keys = jax.random.split(k, B)
+            acts = jax.random.randint(jax.random.fold_in(k, 1), (B,), 0, 7)
+            _, st2, r, te, tr, _, cur = autoreset_step_fresh(
+                env, keys, st, acts, buf, cur)
+            done = te | tr
+            sample = (st2.grid[..., 0], st2.grid[..., 1],
+                      st2.agent_pos, st2.agent_dir, done)
+            return (st2, cur), sample
+
+        (st, _), samples = jax.lax.scan(
+            body, (st, jnp.zeros((), jnp.int32)), jax.random.split(ck, T))
+        return st, samples
+
+    chunk = jax.jit(chunk)
+    types, colors, pos, dirs = [], [], [], []
+    for c in range(CHUNKS):
+        st, (ts, cs, ps, ds, done) = chunk(
+            st, jax.random.fold_in(jax.random.PRNGKey(2), c))
+        done = np.asarray(done).reshape(-1)
+        types.append(np.asarray(ts).reshape(-1, *ts.shape[2:])[done])
+        colors.append(np.asarray(cs).reshape(-1, *cs.shape[2:])[done])
+        pos.append(np.asarray(ps).reshape(-1, 2)[done])
+        dirs.append(np.asarray(ds).reshape(-1)[done])
+    ours = occupancy_counts(np.concatenate(types), np.concatenate(colors),
+                            np.concatenate(pos), np.concatenate(dirs))
+    n = sum(t.shape[0] for t in types)
+    assert n >= 2000, f"too few reset samples collected: {n}"
+    ref = occupancy_counts(*ref_sample(env_id, n))
+    failures = []
+    for k in sorted(set(ours) & set(ref)):
+        p = chi2_two_sample(ours[k], ref[k])
+        if p < P_THRESHOLD:
+            failures.append((k, p))
+    assert not failures, f"fresh reset distribution mismatch: {failures}"
