@@ -37,7 +37,6 @@ import minigrid_tpu
 from minigrid_tpu.core.obs import gen_obs
 from minigrid_tpu.envs.base import (LayoutPool, _serialize_stacked,
                                     autoreset_step_fresh,
-                                    autoreset_step_presampled,
                                     presample_fresh_reset_states,
                                     presample_reset_states)
 
@@ -87,11 +86,12 @@ def bench_step(env, mode: str, states, chunk=4096, repeats=6, pool=None):
                     autoreset_step_fresh(env, keys, state, a, buffer, cursor)
             elif pool is not None:
                 obs, state, reward, term, trunc, _ = \
-                    autoreset_step_presampled(env, keys, state, a, xs[2])
+                    env.step_autoreset_presampled(keys, state, a, xs[2])
             else:
                 obs, state, reward, term, trunc, _ = step(keys, state, a)
             # consume obs so observation generation stays in the graph
-            probe = obs[obs_key].astype(jnp.int32).sum() + reward.sum()
+            o = obs[obs_key] if isinstance(obs, dict) else obs
+            probe = o.astype(jnp.int32).sum() + reward.sum()
             return (state, cursor), probe
 
         (state, _), probes = jax.lax.scan(
@@ -174,6 +174,12 @@ def main():
     rate_uint8 = bench_step(env, "pure", states)
     rate_pooled = bench_step(envp, "autoreset_pooled", staggered, pool=pool)
     rate_exact = bench_step(envp, "autoreset_exact", staggered)
+    # a wrapped pooled config: stateless observation wrappers ride the
+    # pooled fast path through the chain-applying Wrapper methods
+    from minigrid_tpu.wrappers import ImgObsWrapper
+
+    rate_wrapped = bench_step(ImgObsWrapper(envp), "autoreset_pooled",
+                              staggered, pool=pool)
     rate_ppo = bench_ppo(envp, pool, staggered, obs_p)
 
     print(json.dumps({
@@ -189,6 +195,7 @@ def main():
             rate_uint8 / REFERENCE_DOORKEY_STEPS_PER_S, 2),
         "autoreset_pooled": round(rate_pooled),
         "autoreset_exact": round(rate_exact),
+        "autoreset_pooled_imgobs_wrapped": round(rate_wrapped),
         "ppo_train_step": round(rate_ppo),
     }))
 

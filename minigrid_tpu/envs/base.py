@@ -384,13 +384,16 @@ def autoreset_step_fresh(env, keys, states, actions, buffer: "EnvState",
 
 
 def require_bare_env(env, what: str):
-    """The pooled fast paths run env.step_state/gen_obs directly, which on
-    a wrapped env would silently resolve past the wrapper's transforms —
-    fail loudly instead (mirrors Wrapper.step_autoreset_pooled)."""
+    """The batched fast-path FREE FUNCTIONS in this module run
+    env.step_state/gen_obs directly, which on a wrapped env would silently
+    resolve past the wrapper's transforms — fail loudly instead. Wrapped
+    envs get the fast paths through the METHOD surface
+    (Wrapper.step_autoreset_pooled/_presampled/_fresh apply the stateless
+    observation chain after the base env's batched step)."""
     if not isinstance(env, MiniGridEnv):
         raise NotImplementedError(
             f"{what} operates on bare envs (got {type(env).__name__}); "
-            "wrapped envs use the exact-reset step_autoreset path")
+            "call the corresponding method on the wrapped env instead")
 
 
 class MiniGridEnv:
@@ -546,6 +549,23 @@ class MiniGridEnv:
         trade-off)."""
         return autoreset_step_pooled(self, keys, states, actions, pool,
                                      independent)
+
+    def step_autoreset_presampled(self, keys, states: EnvState, actions,
+                                  reset_state: EnvState):
+        """BATCHED pooled auto-reset whose broadcast reset state was
+        pre-deserialized outside the scan (:func:`presample_reset_states`)."""
+        return autoreset_step_presampled(self, keys, states, actions,
+                                         reset_state)
+
+    def step_autoreset_fresh(self, keys, states: EnvState, actions,
+                             buffer: EnvState, cursor, window: int = 32):
+        """BATCHED exact-distribution auto-reset from a fresh-layout buffer
+        (:func:`autoreset_step_fresh`)."""
+        return autoreset_step_fresh(self, keys, states, actions, buffer,
+                                    cursor, window)
+
+    def presample_fresh(self, key, n: int) -> EnvState:
+        return presample_fresh_reset_states(self, key, n)
 
     def make_pool(self, key, pool_size: int = 1024) -> LayoutPool:
         return make_layout_pool(self, key, pool_size)

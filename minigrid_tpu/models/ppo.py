@@ -107,11 +107,14 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             f"num_minibatches ({cfg.num_minibatches}) — a remainder would "
             "silently drop/overlap tail samples")
     if pooled:
-        from minigrid_tpu.envs.base import (autoreset_step_presampled,
-                                            presample_reset_states,
-                                            require_bare_env)
+        from minigrid_tpu.envs.base import presample_reset_states
+        from minigrid_tpu.wrappers import Wrapper
 
-        require_bare_env(env, "make_train_step(pooled=True)")
+        if isinstance(env, Wrapper):
+            # stacks of stateless observation wrappers ride the pooled
+            # fast path (the chain walk raises for stateful wrappers);
+            # the model must accept the wrapped observation format
+            env._stateless_chain()
     else:
         step_env = jax.vmap(env.step_autoreset)
 
@@ -123,25 +126,34 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
 
     def rollout(params, env_state, obs, key, pool):
         B, T = cfg.num_envs, cfg.rollout_len
+        # observation formats (decided at trace time, static):
+        #  - the native dict obs with mission tokens gets the full fast
+        #    encoding: stored uint8 one-hot features + mission counts
+        #    carried across steps (a mission only changes at reset, so the
+        #    (B, L, V) token-count compare+reduce — profiled at 13 us/step
+        #    — runs once up front and each step only selects the broadcast
+        #    reset row's counts into finished envs)
+        #  - wrapped/custom observations are stored as-is; the model must
+        #    accept them directly
+        std_obs = isinstance(obs, dict) and ("packed" in obs or "image" in obs)
+        carry_counts = std_obs and "mission" in obs and pooled
 
         def body(carry, xs_t):
             env_state, obs, counts = carry
             keys, gumbel = xs_t[0], xs_t[1]
             # parameter-free encoding computed ONCE: feeds the behaviour
             # forward AND the trajectory buffer, so the update phase never
-            # rebuilds one-hot planes (models/actor_critic.py encode_obs).
-            # Mission counts ride the carry: a mission only changes at
-            # reset, so the (B, L, V) token-count compare+reduce (profiled
-            # at 13 us/step) runs once up front; each step only selects the
-            # broadcast reset row's counts into finished envs.
-            if pooled:
+            # rebuilds one-hot planes (models/actor_critic.py encode_obs)
+            if carry_counts:
                 enc = {"img_feat": encode_obs(
                            {k: v for k, v in obs.items() if k != "mission"}
                            | {"mission_counts": counts})["img_feat"],
                        "mission_counts": counts,
                        "direction": obs["direction"]}
-            else:
+            elif std_obs:
                 enc = encode_obs(obs)
+            else:
+                enc = obs
             logits, value = model.apply(params, enc)
             # categorical sampling with presampled Gumbel noise (all
             # per-step randomness — action noise and env step keys — is
@@ -150,14 +162,15 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             action = jnp.argmax(logits + gumbel, axis=-1)
             log_prob = _selected_log_prob(jax.nn.log_softmax(logits), action)
             if pooled:
-                st_r, counts_r = xs_t[2], xs_t[3]
+                st_r = xs_t[2]
                 # broadcast reset state for this step, pre-deserialized
                 # outside the scan (envs/base.py presample_reset_states)
                 obs2, env_state2, reward, term, trunc, _ = \
-                    autoreset_step_presampled(env, keys, env_state, action,
-                                              st_r)
-                counts = jnp.where((term | trunc)[:, None], counts_r[None, :],
-                                   counts)
+                    env.step_autoreset_presampled(keys, env_state, action,
+                                                  st_r)
+                if carry_counts:
+                    counts = jnp.where((term | trunc)[:, None],
+                                       xs_t[3][None, :], counts)
             else:
                 obs2, env_state2, reward, term, trunc, _ = step_env(
                     keys, env_state, action)
@@ -165,7 +178,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                            term | trunc)
             return (env_state2, obs2, counts), t
 
-        counts0 = _counts(obs["mission"])
+        counts0 = _counts(obs["mission"]) if carry_counts else jnp.zeros(())
         key, k_act, k_step = jax.random.split(key, 3)
         step_keys = jax.random.split(k_step, T * B).reshape(T, B, 2)
         gumbel = jax.random.gumbel(k_act, (T, B, model.num_actions),
@@ -173,7 +186,9 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         if pooled:
             key, k_pre = jax.random.split(key)
             st_r = presample_reset_states(k_pre, pool, cfg.rollout_len)
-            xs = (step_keys, gumbel, st_r, _counts(st_r.mission))
+            xs = (step_keys, gumbel, st_r)
+            if carry_counts:
+                xs = xs + (_counts(st_r.mission),)
         else:
             xs = (step_keys, gumbel)
         (env_state, obs, counts0), traj = jax.lax.scan(

@@ -31,11 +31,11 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
     argument (the fast training-loop path; see envs/base.py)."""
 
     if pooled:
-        from minigrid_tpu.envs.base import (autoreset_step_presampled,
-                                            presample_reset_states,
-                                            require_bare_env)
+        from minigrid_tpu.envs.base import presample_reset_states
+        from minigrid_tpu.wrappers import Wrapper
 
-        require_bare_env(env, "make_rollout(pooled=True)")
+        if isinstance(env, Wrapper):
+            env._stateless_chain()  # raises for stateful wrapper stacks
     else:
         step = jax.vmap(env.step_autoreset)
 
@@ -52,8 +52,8 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
             keys = jax.random.split(k_step, batch)
             if pooled:
                 obs2, env_state2, reward, term, trunc, _ = \
-                    autoreset_step_presampled(env, keys, env_state, action,
-                                              st_r)
+                    env.step_autoreset_presampled(keys, env_state, action,
+                                                  st_r)
             else:
                 obs2, env_state2, reward, term, trunc, _ = step(
                     keys, env_state, action)

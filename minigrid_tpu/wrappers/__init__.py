@@ -46,6 +46,8 @@ class Wrapper:
         self.env = env
 
     def __getattr__(self, name):
+        if name == "env":  # not yet set (e.g. mid-copy) — don't recurse
+            raise AttributeError(name)
         return getattr(self.env, name)
 
     def reset(self, key):
@@ -60,26 +62,77 @@ class Wrapper:
     def vector(self, n: int):
         return jax.vmap(self.reset), jax.vmap(self.step_autoreset)
 
-    # -- base-env-only surfaces ------------------------------------------
-    # Without these overrides __getattr__ would silently delegate to the
-    # INNER env, bypassing the wrapper's transforms (e.g. pooled resets
-    # would emit un-wrapped observations). Fail loudly instead.
-    def step_autoreset_pooled(self, *a, **kw):
-        raise NotImplementedError(
-            "the pooled auto-reset fast path operates on bare envs; "
-            "wrapped envs use step_autoreset (exact resets), or apply "
-            "wrappers after stepping")
+    # -- batched fast paths ----------------------------------------------
+    # The pooled / presampled / fresh auto-reset paths run batched on bare
+    # EnvStates. A stack made ONLY of stateless ObservationWrappers keeps
+    # bare states (no WrappedState), so the fast path is: run the base
+    # env's batched step, then apply the observation transforms outward —
+    # full pooled throughput with wrapped observations. Stateful wrappers
+    # (bonuses, Reseed, DirectionObs, ...) thread per-env WrappedState
+    # through resets and stay on the exact step_autoreset path; the chain
+    # walk below fails loudly for them instead of silently delegating to
+    # the inner env and emitting un-wrapped observations.
+    def _stateless_chain(self):
+        """(base_env, [observation wrappers, innermost first]).
 
-    def make_pool(self, *a, **kw):
-        raise NotImplementedError(
-            "LayoutPool stores bare EnvStates; build the pool from the "
-            "unwrapped env (env.unwrapped().make_pool(...)) and use the "
-            "pooled path on the bare env")
+        Raises NotImplementedError if any wrapper in the stack is not a
+        stateless :class:`ObservationWrapper`."""
+        chain, env = [], self
+        while isinstance(env, Wrapper):
+            if not isinstance(env, ObservationWrapper):
+                raise NotImplementedError(
+                    f"{type(env).__name__} carries per-env wrapper state or "
+                    "transforms actions/rewards; the pooled/fresh fast "
+                    "paths support stacks of stateless ObservationWrappers "
+                    "only — use step_autoreset (exact resets) instead")
+            chain.append(env)
+            env = env.env
+        return env, chain[::-1]
 
-    def packed(self, *a, **kw):
-        raise NotImplementedError(
-            "packed observations bypass wrapper observation transforms; "
-            "call .packed() on the bare env")
+    def _apply_obs_chain(self, obs, states):
+        _, chain = self._stateless_chain()
+        for w in chain:
+            obs = jax.vmap(w.observation)(obs, states)
+        return obs
+
+    def step_autoreset_pooled(self, keys, states, actions, pool,
+                              independent: bool = False):
+        base, _ = self._stateless_chain()
+        obs, st, r, te, tr, i = base.step_autoreset_pooled(
+            keys, states, actions, pool, independent)
+        return self._apply_obs_chain(obs, st), st, r, te, tr, i
+
+    def step_autoreset_presampled(self, keys, states, actions, reset_state):
+        base, _ = self._stateless_chain()
+        obs, st, r, te, tr, i = base.step_autoreset_presampled(
+            keys, states, actions, reset_state)
+        return self._apply_obs_chain(obs, st), st, r, te, tr, i
+
+    def step_autoreset_fresh(self, keys, states, actions, buffer, cursor,
+                             window: int = 32):
+        base, _ = self._stateless_chain()
+        obs, st, r, te, tr, i, cur = base.step_autoreset_fresh(
+            keys, states, actions, buffer, cursor, window)
+        return self._apply_obs_chain(obs, st), st, r, te, tr, i, cur
+
+    def make_pool(self, key, pool_size: int = 1024):
+        base, _ = self._stateless_chain()  # validates the stack
+        return base.make_pool(key, pool_size)
+
+    def presample_fresh(self, key, n: int):
+        base, _ = self._stateless_chain()
+        return base.presample_fresh(key, n)
+
+    def packed(self):
+        """Rebuild this wrapper stack over a packed-observation inner env
+        (EnvParams.packed_obs). Wrappers that transform the uint8 image
+        fail loudly at trace time (no "image" key in packed observations);
+        mission/direction transforms and :class:`ImgObsWrapper` compose."""
+        import copy
+
+        w = copy.copy(self)
+        w.env = self.env.packed()
+        return w
 
     def unwrapped(self):
         """The innermost bare environment."""
@@ -203,10 +256,12 @@ class PositionBonus(Wrapper):
 
 
 class ImgObsWrapper(ObservationWrapper):
-    """Image-only observation (wrappers.py:187-214)."""
+    """Image-only observation (wrappers.py:187-214). On a packed-obs env
+    (the training fast path) the packed int32 view plays the image's role,
+    so the array-only contract returns it."""
 
     def observation(self, obs, state):
-        return obs["image"]
+        return obs["image"] if "image" in obs else obs["packed"]
 
 
 class OneHotPartialObsWrapper(ObservationWrapper):

@@ -102,3 +102,63 @@ def test_ppo_learns_doorkey():
     first, last = sum(r[:10]) / 10, sum(r[-10:]) / 10
     assert last > max(3 * first, 0.05), (
         f"no learning on DoorKey: first10={first:.4f} last10={last:.4f}")
+
+
+def test_ppo_learns_pooled_imgobs_wrapped():
+    """VERDICT r3 item 3: a wrapped env on the pooled fast path must
+    actually train. ImgObsWrapper over a packed env emits the array-only
+    packed view; a small policy over that array learns Empty-5x5."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from minigrid_tpu import wrappers as W
+    from minigrid_tpu.envs.base import make_layout_pool
+    from minigrid_tpu.models.actor_critic import encode_packed
+
+    class ArrayPolicy(nn.Module):
+        hidden: int = 64
+
+        @nn.compact
+        def __call__(self, arr):
+            x = encode_packed(arr, jnp.bfloat16)
+            x = nn.relu(nn.Dense(self.hidden, dtype=jnp.bfloat16)(x))
+            x = nn.relu(nn.Dense(self.hidden, dtype=jnp.bfloat16)(x))
+            logits = nn.Dense(7, dtype=jnp.float32)(x)
+            value = nn.Dense(1, dtype=jnp.float32)(x)
+            return logits, value.squeeze(-1)
+
+        @property
+        def num_actions(self):
+            return 7
+
+    env = W.ImgObsWrapper(minigrid_tpu.make("MiniGrid-Empty-5x5-v0")).packed()
+    cfg = PPOConfig(num_envs=128, rollout_len=64, num_epochs=2,
+                    num_minibatches=4, lr=1e-3)
+    model = ArrayPolicy()
+    opt = make_optimizer(cfg)
+    v = env.params.view_size
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, v, v), jnp.int32))
+    opt_state = opt.init(params)
+    base = env.unwrapped()
+    _, st = jax.jit(jax.vmap(base.reset_staggered))(
+        jax.random.split(jax.random.PRNGKey(1), cfg.num_envs))
+    # wrapped initial obs for the wrapped rollout
+    from minigrid_tpu.core.obs import gen_obs
+
+    obs_bare = jax.jit(jax.vmap(lambda s: gen_obs(env.params, s)))(st)
+    obs = env._apply_obs_chain(obs_bare, st)
+    pool = make_layout_pool(env, jax.random.PRNGKey(3), 256)
+    train_step = jax.jit(make_train_step(env, model, cfg, opt, pooled=True),
+                         donate_argnums=(0, 1, 2, 3))
+    key = jax.random.PRNGKey(2)
+    rewards = []
+    for _ in range(30):
+        params, opt_state, st, obs, key, m = train_step(
+            params, opt_state, st, obs, key, pool)
+        rewards.append(float(m["mean_reward"]))
+    first, last = sum(rewards[:5]) / 5, sum(rewards[-5:]) / 5
+    assert last > 0.10, f"final reward {last:.4f} too low: {rewards}"
+    assert last > 5 * max(first, 1e-4), (
+        f"no learning on the wrapped pooled path: first5={first:.4f} "
+        f"last5={last:.4f}")

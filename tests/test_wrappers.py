@@ -175,27 +175,60 @@ def test_stochastic_action_smoke():
     assert len(dirs) > 1, "replacement actions never fired"
 
 
-def test_wrapper_blocks_base_only_fast_paths():
-    """The pooled/packed fast paths are base-env-only; a wrapper must fail
-    loudly instead of silently delegating past its transforms."""
-    import pytest as _pytest
-
+def test_stateless_wrappers_ride_fast_paths():
+    """Stacks of stateless ObservationWrappers get the pooled/presampled/
+    fresh fast paths: the base env steps batched, then the observation
+    chain applies — output must equal wrapping the bare pooled output."""
     import minigrid_tpu
     from minigrid_tpu import wrappers as W
+    from minigrid_tpu.envs.base import presample_reset_states
 
-    env = W.ImgObsWrapper(minigrid_tpu.make("MiniGrid-Empty-5x5-v0"))
-    with _pytest.raises(NotImplementedError):
-        env.packed()
-    with _pytest.raises(NotImplementedError):
-        env.make_pool(None, 4)
-    with _pytest.raises(NotImplementedError):
-        env.step_autoreset_pooled(None, None, None, None)
-    assert env.unwrapped() is env.env
+    base = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+    env = W.FullyObsWrapper(W.DictObservationSpaceWrapper(base))
+    B = 16
+    pool = env.make_pool(jax.random.PRNGKey(0), 32)
+    _, st = jax.jit(jax.vmap(base.reset_staggered))(
+        jax.random.split(jax.random.PRNGKey(1), B))
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+    acts = jnp.zeros((B,), jnp.int32)
+
+    obs_w, st2, r, te, tr, _ = jax.jit(
+        lambda k, s, a: env.step_autoreset_pooled(k, s, a, pool))(
+        keys, st, acts)
+    obs_b, st2b, rb, teb, trb, _ = jax.jit(
+        lambda k, s, a: base.step_autoreset_pooled(k, s, a, pool))(
+        keys, st, acts)
+    # same dynamics, wrapped observations == chain applied to bare output
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), st2, st2b))
+    chained = env._apply_obs_chain(obs_b, st2b)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), obs_w, chained))
+    assert obs_w["image"].shape == (B, 5, 5, 3)  # FullyObs grid
+    assert obs_w["mission"].shape == (B, 50)     # Dict mission padding
+
+    # fresh exact path through the wrapper
+    buf = env.presample_fresh(jax.random.PRNGKey(3), 64)
+    obs_f, st3, r3, te3, tr3, _, cur = jax.jit(
+        lambda k, s, a: env.step_autoreset_fresh(
+            k, s, a, buf, jnp.zeros((), jnp.int32)))(keys, st, acts)
+    assert obs_f["image"].shape == (B, 5, 5, 3)
+
+    # packed() rebuilds the stack over a packed inner env
+    imgp = W.ImgObsWrapper(base).packed()
+    _, stp = jax.jit(jax.vmap(imgp.env.reset))(
+        jax.random.split(jax.random.PRNGKey(4), B))
+    obs_p, *_ = jax.jit(
+        lambda k, s, a: imgp.step_autoreset_pooled(
+            k, s, a, imgp.make_pool(jax.random.PRNGKey(5), 16)))(
+        keys, stp, acts)
+    assert obs_p.shape == (B, 7, 7)  # array-only packed (view-size) obs
 
 
-def test_pooled_drivers_reject_wrapped_envs():
-    """make_train_step/make_rollout with pooled=True must fail loudly on a
-    wrapped env rather than resolving step_state past the wrapper."""
+def test_stateful_wrappers_still_blocked():
+    """Wrappers carrying per-env state (or transforming actions/rewards)
+    must fail loudly on the batched fast paths instead of silently
+    delegating past their transforms."""
     import pytest as _pytest
 
     import minigrid_tpu
@@ -205,10 +238,20 @@ def test_pooled_drivers_reject_wrapped_envs():
                                          make_train_step)
     from minigrid_tpu.parallel.rollout import make_rollout
 
-    env = W.FullyObsWrapper(minigrid_tpu.make("MiniGrid-Empty-5x5-v0"))
+    env = W.PositionBonus(minigrid_tpu.make("MiniGrid-Empty-5x5-v0"))
+    with _pytest.raises(NotImplementedError):
+        env.step_autoreset_pooled(None, None, None, None)
+    with _pytest.raises(NotImplementedError):
+        env.make_pool(None, 4)
     cfg = PPOConfig(num_envs=8, rollout_len=8, num_minibatches=2)
     with _pytest.raises(NotImplementedError):
         make_train_step(env, ActorCritic(hidden=16), cfg,
                         make_optimizer(cfg), pooled=True)
     with _pytest.raises(NotImplementedError):
         make_rollout(env, None, length=8, pooled=True)
+    # a stateful wrapper anywhere in the stack blocks the whole stack
+    stacked = W.ImgObsWrapper(W.ActionBonus(
+        minigrid_tpu.make("MiniGrid-Empty-5x5-v0")))
+    with _pytest.raises(NotImplementedError):
+        stacked.step_autoreset_pooled(None, None, None, None)
+    assert stacked.unwrapped() is stacked.env.env
