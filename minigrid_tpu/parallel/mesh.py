@@ -21,11 +21,18 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: int | None = None, model_parallel: int | None = None) -> Mesh:
+    """2-D (data, model) mesh. ``model_parallel`` defaults to 1 (pure DP):
+    the flagship ActorCritic is ~1.3 MB of parameters — replicating it is
+    free, while TP=2 inserts per-layer activation collectives into every
+    minibatch forward/backward. Measured on the virtual 8-device mesh
+    (RESULTS.md round 4): the mp=2 train step runs ~20-30% slower than
+    mp=1 at equal device counts, with no memory need to shard. Pass
+    model_parallel>1 explicitly for models that outgrow a chip."""
     devices = jax.devices()
     n = n_devices or len(devices)
     assert n <= len(devices), f"need {n} devices, have {len(devices)}"
     if model_parallel is None:
-        model_parallel = 2 if n % 2 == 0 and n >= 4 else 1
+        model_parallel = 1
     assert n % model_parallel == 0
     grid = np.array(devices[:n]).reshape(n // model_parallel, model_parallel)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))

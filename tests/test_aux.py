@@ -320,3 +320,58 @@ def test_presampled_autoreset_matches_pooled_semantics():
                                       np.asarray(o_direct["image"]))
     rngs = np.asarray(s2.rng)[np.nonzero(done)[0]]
     assert len({tuple(x) for x in rngs}) == done.sum()
+
+
+def test_sharded_rollout_hlo_collective_free():
+    """The central scaling claim (parallel/mesh.py): nothing in the env
+    step path communicates. Assert the compiled sharded rollout program
+    contains NO collective ops — env throughput must scale linearly."""
+    from minigrid_tpu.parallel.mesh import batch_sharding
+
+    mesh = make_mesh(8, model_parallel=1)
+    env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0").packed()
+    B = 32
+    obs, states = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), B))
+    sh = batch_sharding(mesh)
+    rollout = make_rollout(env, None, length=8)
+    compiled = (
+        jax.jit(rollout, in_shardings=(None, sh, sh, None))
+        .lower(None, states, obs, jax.random.PRNGKey(1))
+        .compile()
+    )
+    txt = compiled.as_text()
+    for op in ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all", "collective-broadcast"):
+        assert op not in txt, f"sharded rollout HLO contains {op}"
+
+
+def test_sharded_rollout_matches_unsharded():
+    """Bit-equality of the sharded and unsharded rollout on the virtual
+    8-device mesh: sharding the batch axis must not change a single bit of
+    dynamics, rewards, or observations."""
+    from minigrid_tpu.parallel.mesh import batch_sharding, shard_batch
+
+    mesh = make_mesh(8, model_parallel=1)
+    env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0").packed()
+    B = 32
+    obs, states = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), B))
+    key = jax.random.PRNGKey(1)
+    rollout = make_rollout(env, None, length=16)
+
+    st_u, obs_u, _, chunk_u = jax.jit(rollout)(None, states, obs, key)
+    sh = batch_sharding(mesh)
+    st_s, obs_s, _, chunk_s = jax.jit(
+        rollout, in_shardings=(None, sh, sh, None))(
+        None, shard_batch(mesh, states), shard_batch(mesh, obs), key)
+
+    for name, a, b in [("reward", chunk_u.reward, chunk_s.reward),
+                       ("action", chunk_u.action, chunk_s.action),
+                       ("done", chunk_u.done, chunk_s.done),
+                       ("obs", chunk_u.obs["packed"], chunk_s.obs["packed"]),
+                       ("grid", st_u.grid, st_s.grid),
+                       ("pos", st_u.agent_pos, st_s.agent_pos)]:
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=f"sharded vs unsharded mismatch in {name}")
