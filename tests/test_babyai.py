@@ -37,6 +37,19 @@ BABYAI_IDS = [
     "BabyAI-SynthLoc-v0",
     "BabyAI-MiniBossLevel-v0",
     "BabyAI-BossLevel-v0",
+    # VERDICT r3 item 5: direct coverage of every Instr kind x root kind
+    # x strict/debug mode (Seq roots, implicit unlock, door ordering)
+    "BabyAI-GoToSeqS5R2-v0",
+    "BabyAI-GoToSeq-v0",
+    "BabyAI-SynthSeq-v0",
+    "BabyAI-GoToImpUnlock-v0",
+    "BabyAI-UnlockToUnlock-v0",
+    "BabyAI-OpenDoorsOrderN2-v0",
+    "BabyAI-OpenDoorsOrderN2Debug-v0",
+    "BabyAI-OpenDoorsOrderN4Debug-v0",
+    "BabyAI-OpenDoorDebug-v0",
+    "BabyAI-OpenRedBlueDoorsDebug-v0",
+    "BabyAI-PickupDistDebug-v0",
 ]
 
 
@@ -66,6 +79,11 @@ def test_random_lockstep(env_id, seed):
     "BabyAI-SynthLoc-v0",
     "BabyAI-MiniBossLevel-v0",
     "BabyAI-BossLevel-v0",
+    "BabyAI-GoToSeqS5R2-v0",
+    "BabyAI-SynthSeq-v0",
+    "BabyAI-GoToImpUnlock-v0",
+    "BabyAI-UnlockToUnlock-v0",
+    "BabyAI-OpenDoorsOrderN2-v0",
 ])
 @pytest.mark.parametrize(
     "seed", [1, pytest.param(4, marks=pytest.mark.nightly)])
@@ -128,3 +146,42 @@ def test_surface_matches_reference_full_grammar():
     """BossLevel/SynthSeq exercise the whole combinatorial grammar."""
     for env_id in ["BabyAI-BossLevel-v0", "BabyAI-SynthSeq-v0"]:
         _check_surface(env_id, range(5), eager=False)
+
+
+def test_instruction_kind_coverage():
+    """VERDICT r3 item 5: the lockstep id list must span every instruction
+    constructor in the reference verifier — each ActionInstr kind, each
+    composite root (Before/After/And), and the debug (DoneInstr-strict)
+    mode — so no verify path is covered only indirectly."""
+    import collections
+
+    from minigrid.envs.babyai.core import verifier as V
+
+    need_action = {"GoToInstr", "OpenInstr", "PickupInstr", "PutNextInstr"}
+    need_roots = {"BeforeInstr", "AfterInstr", "AndInstr"}
+
+    seen = collections.defaultdict(set)
+
+    def walk(instr, env_id):
+        seen[type(instr).__name__].add(env_id)
+        for attr in ("instr_a", "instr_b", "instr"):
+            sub = getattr(instr, attr, None)
+            if sub is not None:
+                walk(sub, env_id)
+
+    debug_ids = set()
+    for env_id in BABYAI_IDS:
+        ref = make_reference(env_id)
+        for seed in range(4):
+            ref.reset(seed=seed)
+            walk(ref.instrs, env_id)
+        if getattr(ref, "debug", False):
+            debug_ids.add(env_id)
+
+    missing = (need_action | need_roots) - set(seen)
+    assert not missing, f"instruction kinds with no lockstep id: {missing}"
+    assert debug_ids, "no debug-mode (strict DoneInstr) level in the list"
+    # Seq roots must appear under a dedicated Seq level, not only BossLevel
+    seq_ids = seen["BeforeInstr"] | seen["AfterInstr"]
+    assert any("Seq" in i for i in seq_ids), (
+        f"Before/After roots only via {seq_ids}")
