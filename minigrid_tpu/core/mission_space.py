@@ -124,10 +124,10 @@ class MissionSpace(_Base):
         # describe the real realizations. Probe every candidate of every
         # slot at least once (paired with the first candidate of the other
         # slots) so a branch on a *middle* candidate is caught too.
+        if any(not cands for cands in self.ordered_placeholders):
+            return None  # before the probe build: c[0] would raise
         probes = [[c[0] for c in self.ordered_placeholders]]
         for i, cands in enumerate(self.ordered_placeholders):
-            if not cands:
-                return None
             for c in cands[1:]:
                 args = [cl[0] for cl in self.ordered_placeholders]
                 args[i] = c

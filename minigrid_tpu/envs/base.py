@@ -89,8 +89,12 @@ def _leaf_kind(name: str, x) -> str:
 
     dt = jnp.dtype(x.dtype)
     if (dt == jnp.dtype(jnp.uint8) and x.ndim >= 2
-            and x.shape[-1] == C.NUM_CHANNELS):
+            and x.shape[-1] == C.NUM_CHANNELS
+            and ("grid" in name or "carrying" in name)):
         return "cells"      # grid / carrying: 16-bit packed cells
+        # (keyed on the path name too: a future uint8 extra field of
+        # width NUM_CHANNELS must not be silently bit-truncated through
+        # pack_cells — it serializes as plain u8 below)
     if name.endswith("mission") and dt == jnp.dtype(jnp.int32):
         return "u16"        # token ids < VOCAB_SIZE < 2^16
     if dt in (jnp.dtype(bool), jnp.dtype(jnp.uint8)):
@@ -236,6 +240,13 @@ def _apply_broadcast_reset(env, keys, st, done, st_r):
     from minigrid_tpu.core.obs import gen_obs
 
     bdone = lambda x: done.reshape((-1,) + (1,) * (x.ndim - 1))
+    # NOTE: XOR-derived sibling keys are not jax's documented split/fold_in
+    # construction; under counter-based threefry the XORed constant yields a
+    # distinct counter stream, which is heuristically (not provably)
+    # independent of the same-step dynamics stream. Chosen for the hot
+    # path because a per-env fold_in pass costs a full batched threefry per
+    # step; the distribution guards in tests/test_distribution.py cover
+    # the observable consequences.
     rng_r = keys ^ jnp.asarray([0x5DEECE66, 0xB5297A4D], keys.dtype)
     st_r = st_r.replace(rng=rng_r)  # batched rng; the rest broadcasts
     st = jax.tree.map(lambda a, b: jnp.where(bdone(a), b, a), st, st_r)

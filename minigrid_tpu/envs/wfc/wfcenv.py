@@ -31,7 +31,7 @@ def largest_component(empty: jnp.ndarray) -> jnp.ndarray:
     INF = H * W
     labels = jnp.where(empty, idx, INF)
 
-    def body(_, lab):
+    def propagate(lab):
         up = jnp.pad(lab[:-1, :], ((1, 0), (0, 0)), constant_values=INF)
         down = jnp.pad(lab[1:, :], ((0, 1), (0, 0)), constant_values=INF)
         left = jnp.pad(lab[:, :-1], ((0, 0), (1, 0)), constant_values=INF)
@@ -39,7 +39,18 @@ def largest_component(empty: jnp.ndarray) -> jnp.ndarray:
         best = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
         return jnp.where(empty, jnp.minimum(lab, best), INF)
 
-    labels = jax.lax.fori_loop(0, H * W, body, labels)
+    # converge instead of running the H*W worst-case bound: typical WFC
+    # mazes settle in ~diameter iterations, cutting reset cost several-fold
+    def cond(carry):
+        lab, changed = carry
+        return changed
+
+    def step(carry):
+        lab, _ = carry
+        new = propagate(lab)
+        return new, (new != lab).any()
+
+    labels, _ = jax.lax.while_loop(cond, step, (labels, jnp.bool_(True)))
     sizes = jnp.zeros(H * W + 1, jnp.int32).at[labels.reshape(-1)].add(
         empty.reshape(-1).astype(jnp.int32))
     sizes = sizes.at[INF].set(0)

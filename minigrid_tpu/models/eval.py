@@ -1,0 +1,66 @@
+"""Policy evaluation: measured episode success rate.
+
+The learning guards in tests/ prove reward RISES; deployment cares whether
+the trained policy actually solves the task. This harness runs N fresh
+episodes to completion under the greedy (argmax) policy — batched, one
+``lax.scan`` over the episode budget, no host round-trips — and reports
+the fraction that terminate successfully (terminated with positive reward,
+the universal MiniGrid success signal; timeouts and lava deaths count as
+failures).
+
+    from minigrid_tpu.models.eval import evaluate_success
+    rate = evaluate_success(env, model, params, n_episodes=1024)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def evaluate_success(env, model, params, n_episodes: int = 1024,
+                     key: jax.Array | None = None,
+                     max_steps: int | None = None) -> float:
+    """Fraction of ``n_episodes`` fresh episodes the greedy policy solves.
+
+    Finished episodes freeze (their state stops updating), so each episode
+    is evaluated exactly once; the scan runs the env's ``max_steps`` budget
+    (or an explicit cap) for the stragglers.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    T = max_steps or int(env.params.max_steps)
+    k_reset, k_run = jax.random.split(key)
+
+    @jax.jit
+    def run(params, keys_reset, k_run):
+        obs, st = jax.vmap(env.reset)(keys_reset)
+
+        def body(carry, k):
+            st, obs, done, success = carry
+            logits, _ = model.apply(params, obs)
+            action = jnp.argmax(logits, axis=-1)
+            keys = jax.random.split(k, n_episodes)
+            obs2, st2, r, te, tr, _ = jax.vmap(env.step)(keys, st, action)
+            alive = ~done
+            newly_done = alive & (te | tr)
+            success = success | (newly_done & te & (r > 0))
+            frozen = lambda x: done.reshape(
+                (-1,) + (1,) * (x.ndim - 1))
+            st = jax.tree.map(lambda a, b: jnp.where(frozen(a), a, b),
+                              st, st2)
+            obs = jax.tree.map(lambda a, b: jnp.where(frozen(a), a, b),
+                               obs, obs2)
+            done = done | te | tr
+            return (st, obs, done, success), None
+
+        done0 = jnp.zeros((n_episodes,), bool)
+        (st, obs, done, success), _ = jax.lax.scan(
+            body, (st, obs, done0, jnp.zeros((n_episodes,), bool)),
+            jax.random.split(k_run, T))
+        return success.mean(), done.mean()
+
+    success_rate, done_rate = run(
+        params, jax.random.split(k_reset, n_episodes), k_run)
+    del done_rate  # all episodes end within max_steps by definition
+    return float(success_rate)

@@ -9,6 +9,6 @@ Kept as a validated alternative and as the scaffold for kernels XLA cannot
 express; the production hot path remains ``jit(scan(...))`` (bench.py).
 """
 
-from minigrid_tpu.ops.fused_step import fused_rollout
+from minigrid_tpu.ops.fused_step import fused_rollout, require_core_dynamics
 
-__all__ = ["fused_rollout"]
+__all__ = ["fused_rollout", "require_core_dynamics"]

@@ -224,6 +224,28 @@ def _kernel(grid0, scal0, actions, obs, reward, term, trunc, grid_out,
     scal_out[:] = s[:]
 
 
+def require_core_dynamics(env) -> None:
+    """Assert ``env`` uses the unmodified core transition.
+
+    The fused kernel implements ONLY ``step_core`` — an env that overrides
+    ``step_state``/``_pre_step``/``_post_step``/``_transform_action``
+    (Fetch, Memory, DynamicObstacles, BabyAI levels, ...) would silently
+    get wrong dynamics through the kernel; fail loudly instead. Call this
+    with the env whose ``params`` you are about to hand to
+    :func:`fused_rollout`.
+    """
+    from minigrid_tpu.envs.base import MiniGridEnv
+
+    base = env.unwrapped() if hasattr(env, "unwrapped") else env
+    for name in ("step_state", "_pre_step", "_post_step",
+                 "_transform_action"):
+        if getattr(type(base), name) is not getattr(MiniGridEnv, name):
+            raise NotImplementedError(
+                f"{type(base).__name__} overrides {name}; the fused kernel "
+                "implements only the core transition — use the jit/vmap "
+                "step path for this env")
+
+
 @functools.partial(jax.jit, static_argnames=("params", "T_tile", "interpret",
                                              "native_layout"))
 def fused_rollout(params, states, actions, T_tile: int = 64,
@@ -236,6 +258,10 @@ def fused_rollout(params, states, actions, T_tile: int = 64,
     of T_tile. Returns (new_states, obs, reward, term, trunc) where obs is
     the packed observation: (T, B, V, V) int32, or the kernel-native
     (T, V*V, B) with ``native_layout=True`` (no transpose pass).
+
+    Implements the CORE transition only — validate the source env with
+    :func:`require_core_dynamics` first; envs overriding the step hooks
+    get wrong dynamics through this kernel.
     """
     W, H, V = params.width, params.height, params.view_size
     NC = W * H

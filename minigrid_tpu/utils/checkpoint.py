@@ -44,7 +44,26 @@ def restore_pytree(path: str, like: Any) -> Any:
         pass
     npz = np.load(path if path.endswith(".npz") else path + ".npz")
     leaves, treedef = jax.tree_util.tree_flatten(like)
-    new_leaves = [npz[f"leaf_{i}"] for i in range(len(leaves))]
+    # validate against the stored treedef: restoring into a drifted pytree
+    # structure would silently mis-assign leaves
+    if "treedef" in npz:
+        saved = bytes(npz["treedef"]).decode()
+        if saved != repr(treedef):
+            raise ValueError(
+                f"checkpoint pytree structure mismatch:\n saved:    "
+                f"{saved}\n restoring into: {treedef!r}")
+    n_saved = len([k for k in npz.files if k.startswith("leaf_")])
+    if n_saved != len(leaves):
+        raise ValueError(f"checkpoint has {n_saved} leaves; 'like' has "
+                         f"{len(leaves)}")
+    new_leaves = []
+    for i, ref in enumerate(leaves):
+        leaf = npz[f"leaf_{i}"]
+        if tuple(leaf.shape) != tuple(np.shape(ref)):
+            raise ValueError(
+                f"checkpoint leaf {i} shape {leaf.shape} != expected "
+                f"{np.shape(ref)}")
+        new_leaves.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
