@@ -30,6 +30,13 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
     if key is None:
         key = jax.random.PRNGKey(0)
     T = max_steps or int(env.params.max_steps)
+    if T > 1 << 16:
+        # BabyAI RoomGridLevels keep a 2^30 sentinel in params.max_steps
+        # and carry the real per-episode budget in state.extra["max_steps"]
+        # (envs/babyai/core/level.py) — an explicit scan cap is required
+        raise ValueError(
+            f"env reports max_steps={T} (dynamic-budget sentinel); pass an "
+            "explicit max_steps >= the level's episode budget")
     k_reset, k_run = jax.random.split(key)
 
     @jax.jit

@@ -142,18 +142,48 @@ def _kernel(grid0, scal0, actions, obs, reward, term, trunc, grid_out,
         truncated = step_count >= max_steps
 
         # --- observation on the new state (core/obs.py) -----------------
+        # Factorized window read (the XLA path's axis separation,
+        # core/obs.py:56-103, ported into the kernel): forward/right are
+        # unit axis vectors, so world-x depends on exactly ONE view index
+        # and world-y on the other — wxm/wyn below are (V, LANES) index
+        # rows. Stage 1 contracts over grid columns into a (V, H) strip
+        # per lane; stage 2 contracts over grid rows twice (both
+        # transpose orientations, direction-selected per lane, replacing
+        # the per-env swap XLA does with u.T). W + 2H selects of small
+        # tiles instead of the direct (V*V, W*H) one-hot contraction's
+        # NC passes — ~6x fewer VPU ops.
         ofx = (new_d == 0).astype(jnp.int32) - (new_d == 2)
         ofy = (new_d == 1).astype(jnp.int32) - (new_d == 3)
         orx, ory = -ofy, ofx
         tlx = nx + ofx * (V - 1) - orx * hs
         tly = ny + ofy * (V - 1) - ory * hs
-        wx = tlx + orx * vx - ofx * vy                    # (V*V, LANES)
-        wy = tly + ory * vx - ofy * vy
-        winb = (wx >= 0) & (wx < W) & (wy >= 0) & (wy < H)
-        widx = jnp.where(winb, wx * H + wy, -1)
-        u = jnp.zeros((V * V, LANES), jnp.int32)
-        for c in range(NC):
-            u = u + jnp.where(widx == c, g[pl.ds(c, 1), :], 0)
+        m_i = jax.lax.broadcasted_iota(jnp.int32, (V, LANES), 0)
+        wxm = tlx + (orx - ofx) * m_i                     # (V, LANES)
+        wyn = tly + (ory - ofy) * m_i                     # (V, LANES)
+        # 0/1 int masks + multiply-accumulate: Mosaic rejects i1 masks
+        # broadcast across 3-D selects ("unsupported target bitwidth for
+        # truncation"); integer products lower cleanly
+        t3 = jnp.zeros((V, H, LANES), jnp.int32)
+        for xx in range(W):
+            mx = (wxm == xx).astype(jnp.int32)            # (V, LANES)
+            t3 = t3 + mx[:, None, :] * g[pl.ds(xx * H, H), :][None]
+        u_a = jnp.zeros((V, V, LANES), jnp.int32)
+        u_b = jnp.zeros((V, V, LANES), jnp.int32)
+        for yy in range(H):
+            my = (wyn == yy).astype(jnp.int32)            # (V, LANES)
+            t_y = t3[:, yy, :]                            # (V, LANES)
+            u_a = u_a + my[None, :, :] * t_y[:, None, :]
+            u_b = u_b + my[:, None, :] * t_y[None, :, :]
+        bx = ((wxm >= 0) & (wxm < W)).astype(jnp.int32)
+        by = ((wyn >= 0) & (wyn < H)).astype(jnp.int32)
+        inb_a = bx[:, None, :] * by[None, :, :]
+        inb_b = bx[None, :, :] * by[:, None, :]
+        # dirs 1/3: u_a is already [vx, vy]; dirs 0/2: transposed (u_b)
+        swap = ((new_d == 0) | (new_d == 2)).astype(jnp.int32)[None]
+        u3 = swap * u_b + (1 - swap) * u_a                # (V, V, LANES)
+        winb3 = swap * inb_b + (1 - swap) * inb_a
+        u = u3.reshape(V * V, LANES)
+        winb = winb3.reshape(V * V, LANES) != 0
         u = jnp.where(winb, u, G.WALL_PACKED)
         # carried-object overlay at the agent's view cell (hs, V-1)
         u = jnp.where(view_i == hs * V + (V - 1), new_carry, u)

@@ -37,7 +37,16 @@ def main():
 
     cfg = PPOConfig(num_envs=4096, rollout_len=128, lr=2.5e-4)
     model = ActorCritic()
-    opt = make_optimizer(cfg)
+    if len(sys.argv) > 4 and sys.argv[4] == "anneal":
+        import optax
+
+        sched = optax.linear_schedule(cfg.lr, cfg.lr * 0.05,
+                                      budget_updates * cfg.num_minibatches
+                                      * cfg.num_epochs)
+        opt = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                          optax.adam(sched))
+    else:
+        opt = make_optimizer(cfg)
     key = jax.random.PRNGKey(0)
     k_init, key = jax.random.split(key)
     params = init_params(k_init, model=model, packed=True)
@@ -75,8 +84,10 @@ def main():
             stage_steps += spu
             total_steps += spu
             if (u + 1) % eval_every == 0:
+                cap = (1024 if env.params.max_steps > (1 << 16) else None)
                 rate = evaluate_success(env, model, params, n_episodes=1024,
-                                        key=jax.random.fold_in(key, u))
+                                        key=jax.random.fold_in(key, u),
+                                        max_steps=cap)
                 print(json.dumps({
                     "env": env_id, "update": u + 1,
                     "stage_env_steps": stage_steps,
