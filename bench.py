@@ -109,7 +109,8 @@ def bench_step(env, mode: str, states, chunk=4096, repeats=6, pool=None):
     return repeats * batch * chunk / (time.perf_counter() - t0)
 
 
-def bench_ppo(env, pool, states, obs, rollout_len=128, repeats=6):
+def bench_ppo(env, pool, states, obs, rollout_len=128, repeats=6,
+              resets="pooled"):
     """Full PPO train step (rollout + GAE + update), env-steps/s."""
     from minigrid_tpu.models.actor_critic import ActorCritic, init_params
     from minigrid_tpu.models.ppo import (PPOConfig, make_optimizer,
@@ -125,7 +126,8 @@ def bench_ppo(env, pool, states, obs, rollout_len=128, repeats=6):
     opt_state = opt.init(params)
     st = jax.tree.map(jnp.copy, states)
     obs = jax.tree.map(jnp.copy, obs)
-    train_step = jax.jit(make_train_step(env, model, cfg, opt, pooled=True),
+    train_step = jax.jit(make_train_step(env, model, cfg, opt,
+                                         resets=resets),
                          donate_argnums=(0, 1, 2, 3))
     key = jax.random.PRNGKey(2)
     out = train_step(params, opt_state, st, obs, key, pool)
@@ -181,6 +183,8 @@ def main():
     rate_wrapped = bench_step(ImgObsWrapper(envp), "autoreset_pooled",
                               staggered, pool=pool)
     rate_ppo = bench_ppo(envp, pool, staggered, obs_p)
+    rate_ppo_fresh = bench_ppo(envp, None, staggered, obs_p,
+                               resets="fresh")
 
     print(json.dumps({
         "metric": "doorkey8x8_env_steps_per_s_4096envs",
@@ -197,6 +201,7 @@ def main():
         "autoreset_exact": round(rate_exact),
         "autoreset_pooled_imgobs_wrapped": round(rate_wrapped),
         "ppo_train_step": round(rate_ppo),
+        "ppo_train_step_fresh_resets": round(rate_ppo_fresh),
     }))
 
 

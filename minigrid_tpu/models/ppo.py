@@ -84,16 +84,32 @@ def make_optimizer(cfg: PPOConfig):
 
 
 def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
-                    pooled: bool = False):
+                    pooled: bool = False, resets: str | None = None,
+                    fresh_buffer: int | None = None):
     """Returns train_step(params, opt_state, env_state, obs, key) -> ...
 
-    With ``pooled=True`` the rollout auto-resets from a device-resident
-    :class:`~minigrid_tpu.envs.base.LayoutPool` (the fast path — no per-step
-    layout regeneration) and ``train_step`` takes the pool as a trailing
-    argument: ``train_step(params, opt_state, env_state, obs, key, pool)``.
-    Refresh the pool between train steps (``refresh_layout_pool``) to keep
-    reset draws independent across updates.
+    Reset modes (``resets``; ``pooled=True`` is shorthand for "pooled"):
+
+    - ``"regen"`` (default): fresh ``_gen_grid`` per env per step,
+      selected into finished envs — the semantic reference path.
+    - ``"pooled"``: broadcast-row draws from a device-resident
+      :class:`~minigrid_tpu.envs.base.LayoutPool` passed as the trailing
+      ``train_step`` argument; refresh it between train steps
+      (``refresh_layout_pool``). Fastest; same-step finishers share a
+      layout.
+    - ``"fresh"``: the exact-distribution fast path — every rollout
+      pre-generates a buffer of independent layouts inside the compiled
+      step and consumes each at most once
+      (:func:`~minigrid_tpu.envs.base.autoreset_step_fresh`). Exact reset
+      marginals AND same-step independence at near-pooled speed; no pool
+      argument or refreshing needed. ``fresh_buffer`` overrides the
+      buffer size (required for dynamic-budget envs like BabyAI levels,
+      whose ``params.max_steps`` is a sentinel).
     """
+    if resets is None:
+        resets = "pooled" if pooled else "regen"
+    assert resets in ("regen", "pooled", "fresh"), resets
+    pooled = resets == "pooled"
 
     if cfg.shuffle in ("rotate", "timestep"):
         assert cfg.rollout_len % cfg.num_minibatches == 0, (
@@ -106,17 +122,26 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             f"({cfg.num_envs * cfg.rollout_len}) divisible by "
             f"num_minibatches ({cfg.num_minibatches}) — a remainder would "
             "silently drop/overlap tail samples")
-    if pooled:
+    if resets in ("pooled", "fresh"):
         from minigrid_tpu.envs.base import presample_reset_states
         from minigrid_tpu.wrappers import Wrapper
 
         if isinstance(env, Wrapper):
-            # stacks of stateless observation wrappers ride the pooled
-            # fast path (the chain walk raises for stateful wrappers);
+            # stacks of stateless observation wrappers ride the batched
+            # fast paths (the chain walk raises for stateful wrappers);
             # the model must accept the wrapped observation format
             env._stateless_chain()
     else:
         step_env = jax.vmap(env.step_autoreset)
+    if resets == "fresh":
+        if fresh_buffer is None:
+            ms = int(env.params.max_steps)
+            if ms > 1 << 16:
+                raise ValueError(
+                    "resets='fresh' on a dynamic-budget env (max_steps "
+                    f"sentinel {ms}): pass fresh_buffer explicitly")
+            mean = cfg.num_envs * cfg.rollout_len / ms
+            fresh_buffer = int(mean * 1.2) + 8 * int(mean ** 0.5) + 64
 
     def _counts(tokens):
         from minigrid_tpu.core.mission import VOCAB_SIZE
@@ -139,7 +164,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         carry_counts = std_obs and "mission" in obs and pooled
 
         def body(carry, xs_t):
-            env_state, obs, counts = carry
+            env_state, obs, counts, cursor = carry
             keys, gumbel = xs_t[0], xs_t[1]
             # parameter-free encoding computed ONCE: feeds the behaviour
             # forward AND the trajectory buffer, so the update phase never
@@ -171,12 +196,16 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                 if carry_counts:
                     counts = jnp.where((term | trunc)[:, None],
                                        xs_t[3][None, :], counts)
+            elif resets == "fresh":
+                obs2, env_state2, reward, term, trunc, _, cursor = \
+                    env.step_autoreset_fresh(keys, env_state, action,
+                                             buffer, cursor)
             else:
                 obs2, env_state2, reward, term, trunc, _ = step_env(
                     keys, env_state, action)
             t = Transition(enc, action, log_prob, value, reward,
                            term | trunc)
-            return (env_state2, obs2, counts), t
+            return (env_state2, obs2, counts, cursor), t
 
         counts0 = _counts(obs["mission"]) if carry_counts else jnp.zeros(())
         key, k_act, k_step = jax.random.split(key, 3)
@@ -191,8 +220,14 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                 xs = xs + (_counts(st_r.mission),)
         else:
             xs = (step_keys, gumbel)
-        (env_state, obs, counts0), traj = jax.lax.scan(
-            body, (env_state, obs, counts0), xs, length=cfg.rollout_len
+        if resets == "fresh":
+            key, k_buf = jax.random.split(key)
+            buffer = env.presample_fresh(k_buf, fresh_buffer)
+        else:
+            buffer = None
+        (env_state, obs, counts0, _), traj = jax.lax.scan(
+            body, (env_state, obs, counts0, jnp.zeros((), jnp.int32)), xs,
+            length=cfg.rollout_len
         )
         return env_state, obs, key, traj
 

@@ -33,6 +33,10 @@ class TrainConfig:
     hidden: int = 256
     seed: int = 0
     packed_obs: bool = True        # single-lane observations (fast path)
+    # reset mode: None -> "pooled" if pool_size > 0 else "regen";
+    # "fresh" = exact-distribution resets from an in-step buffer
+    # (no pool, near-pooled speed — models/ppo.py make_train_step)
+    resets: str | None = None
     pool_size: int = 1024          # 0 disables pooling (exact resets)
     pool_refresh_every: int = 8    # train steps between pool refreshes
     checkpoint_dir: str | None = None
@@ -55,9 +59,10 @@ def train(env_id: str, cfg: TrainConfig = TrainConfig(),
     params = init_params(k_init, view_size=env.params.view_size,
                          model=model, packed=cfg.packed_obs)
 
-    pooled = cfg.pool_size > 0
+    resets = cfg.resets or ("pooled" if cfg.pool_size > 0 else "regen")
+    pooled = resets == "pooled"
     pool = (make_layout_pool(env, k_pool, cfg.pool_size) if pooled else None)
-    train_step = make_train_step(env, model, pcfg, opt, pooled=pooled)
+    train_step = make_train_step(env, model, pcfg, opt, resets=resets)
 
     if cfg.devices > 1:
         from minigrid_tpu.parallel import mesh as M
