@@ -141,6 +141,38 @@ def bench_ppo(env, pool, states, obs, rollout_len=128, repeats=6,
     return repeats * batch * rollout_len / (time.perf_counter() - t0)
 
 
+def bench_ppo_loop(env, states, obs, rollout_len=128, K=8, repeats=3):
+    """K train steps scanned per dispatch (make_train_loop, fresh resets):
+    the production training-loop rate with host dispatch amortized."""
+    from minigrid_tpu.models.actor_critic import ActorCritic, init_params
+    from minigrid_tpu.models.ppo import (PPOConfig, make_optimizer,
+                                         make_train_loop)
+
+    batch = states.agent_dir.shape[0]
+    cfg = PPOConfig(num_envs=batch, rollout_len=rollout_len)
+    model = ActorCritic()
+    opt = make_optimizer(cfg)
+    params = init_params(jax.random.PRNGKey(0),
+                         view_size=env.params.view_size, model=model,
+                         packed=env.params.packed_obs)
+    opt_state = opt.init(params)
+    st = jax.tree.map(jnp.copy, states)
+    obs = jax.tree.map(jnp.copy, obs)
+    loop = jax.jit(make_train_loop(env, model, cfg, opt, steps_per_call=K,
+                                   resets="fresh"),
+                   donate_argnums=(0, 1, 2, 3))
+    key = jax.random.PRNGKey(2)
+    out = loop(params, opt_state, st, obs, key)
+    jax.block_until_ready(out[5]["loss"])
+    params, opt_state, st, obs, key, _ = out
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        params, opt_state, st, obs, key, m = loop(
+            params, opt_state, st, obs, key)
+    jax.block_until_ready(m["loss"])
+    return repeats * K * batch * rollout_len / (time.perf_counter() - t0)
+
+
 def bench(env_id: str = ENV_ID, batch: int = BATCH, chunk: int = 2048,
           repeats: int = 8) -> float:
     """Single-number batched throughput for one env id (the
@@ -185,6 +217,7 @@ def main():
     rate_ppo = bench_ppo(envp, pool, staggered, obs_p)
     rate_ppo_fresh = bench_ppo(envp, None, staggered, obs_p,
                                resets="fresh")
+    rate_ppo_loop = bench_ppo_loop(envp, staggered, obs_p)
 
     print(json.dumps({
         "metric": "doorkey8x8_env_steps_per_s_4096envs",
@@ -202,6 +235,7 @@ def main():
         "autoreset_pooled_imgobs_wrapped": round(rate_wrapped),
         "ppo_train_step": round(rate_ppo),
         "ppo_train_step_fresh_resets": round(rate_ppo_fresh),
+        "ppo_train_loop_x8_fresh": round(rate_ppo_loop),
     }))
 
 

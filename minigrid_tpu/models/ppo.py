@@ -76,6 +76,34 @@ def _selected_log_prob(log_probs, action):
     return jnp.where(oh, log_probs, 0.0).sum(-1)
 
 
+def make_train_loop(env, model: "ActorCritic", cfg: "PPOConfig", optimizer,
+                    steps_per_call: int = 8, **kw):
+    """Scan ``steps_per_call`` train steps inside ONE compiled call.
+
+    Each dispatch through a remote runtime costs ~3 ms of host latency —
+    at the flagship scale that is >10% of a train step. The scanned loop
+    amortizes it (measured: 19.8M -> 23.3M env-steps/s at K=8 with fresh
+    resets). Any ``make_train_step`` kwargs pass through; with pooled
+    resets the same pool serves all K steps, so pick K <= your pool
+    refresh cadence. Returns ``train_loop(params, opt_state, env_state,
+    obs, key[, pool]) -> (..., metrics)`` with metrics stacked (K,)."""
+    step = make_train_step(env, model, cfg, optimizer, **kw)
+
+    def train_loop(params, opt_state, env_state, obs, key, pool=None):
+        def body(carry, _):
+            params, opt_state, env_state, obs, key = carry
+            params, opt_state, env_state, obs, key, m = step(
+                params, opt_state, env_state, obs, key, pool)
+            return (params, opt_state, env_state, obs, key), m
+
+        (params, opt_state, env_state, obs, key), metrics = jax.lax.scan(
+            body, (params, opt_state, env_state, obs, key), None,
+            length=steps_per_call)
+        return params, opt_state, env_state, obs, key, metrics
+
+    return train_loop
+
+
 def make_optimizer(cfg: PPOConfig):
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),

@@ -37,6 +37,10 @@ class TrainConfig:
     # "fresh" = exact-distribution resets from an in-step buffer
     # (no pool, near-pooled speed — models/ppo.py make_train_step)
     resets: str | None = None
+    # train steps scanned per compiled dispatch (make_train_loop):
+    # amortizes ~3 ms host latency per dispatch; with pooled resets one
+    # pool serves the whole call (so this doubles as the refresh cadence)
+    steps_per_call: int = 1
     pool_size: int = 1024          # 0 disables pooling (exact resets)
     pool_refresh_every: int = 8    # train steps between pool refreshes
     checkpoint_dir: str | None = None
@@ -62,7 +66,14 @@ def train(env_id: str, cfg: TrainConfig = TrainConfig(),
     resets = cfg.resets or ("pooled" if cfg.pool_size > 0 else "regen")
     pooled = resets == "pooled"
     pool = (make_layout_pool(env, k_pool, cfg.pool_size) if pooled else None)
-    train_step = make_train_step(env, model, pcfg, opt, resets=resets)
+    K = max(1, cfg.steps_per_call)
+    if K > 1:
+        from minigrid_tpu.models.ppo import make_train_loop
+
+        train_step = make_train_loop(env, model, pcfg, opt,
+                                     steps_per_call=K, resets=resets)
+    else:
+        train_step = make_train_step(env, model, pcfg, opt, resets=resets)
 
     if cfg.devices > 1:
         from minigrid_tpu.parallel import mesh as M
@@ -84,13 +95,15 @@ def train(env_id: str, cfg: TrainConfig = TrainConfig(),
 
     obs, st = reset(jax.random.split(k_env, pcfg.num_envs))
 
-    steps_per_update = pcfg.num_envs * pcfg.rollout_len
+    steps_per_update = pcfg.num_envs * pcfg.rollout_len * K
     num_updates = max(1, cfg.total_env_steps // steps_per_update)
     history = []
     t0 = time.perf_counter()
     for u in range(num_updates):
         params, opt_state, st, obs, key, m = train_step(
             params, opt_state, st, obs, key, pool)
+        if K > 1:  # metrics stacked (K, ...): report the last step's
+            m = jax.tree.map(lambda x: x[-1], m)
         if pooled and (u + 1) % cfg.pool_refresh_every == 0:
             pool = refresh_layout_pool(
                 env, jax.random.fold_in(k_pool, u), pool)
