@@ -52,6 +52,12 @@ def bench_step(env, mode: str, states, chunk=4096, repeats=6, pool=None):
     obs_key = "packed" if env.params.packed_obs else "image"
     if mode == "pure":
         step = jax.vmap(env.step)
+    elif mode == "autoreset_regen":
+        # the semantic reference path: full per-env _gen_grid every step,
+        # selected into finished envs (rounds 1-3 reported this as
+        # "autoreset_exact"; the fresh-buffer scheme below replaced it as
+        # the exact-distribution FAST path)
+        step = jax.vmap(env.step_autoreset)
     elif mode == "autoreset_exact":
         # fresh-buffer exact path (envs/base.py autoreset_step_fresh): a
         # per-chunk buffer of independent _gen_grid draws, consumed at most
@@ -208,6 +214,8 @@ def main():
     rate_uint8 = bench_step(env, "pure", states)
     rate_pooled = bench_step(envp, "autoreset_pooled", staggered, pool=pool)
     rate_exact = bench_step(envp, "autoreset_exact", staggered)
+    rate_regen = bench_step(envp, "autoreset_regen", staggered, chunk=512,
+                            repeats=3)
     # a wrapped pooled config: stateless observation wrappers ride the
     # pooled fast path through the chain-applying Wrapper methods
     from minigrid_tpu.wrappers import ImgObsWrapper
@@ -232,6 +240,7 @@ def main():
             rate_uint8 / REFERENCE_DOORKEY_STEPS_PER_S, 2),
         "autoreset_pooled": round(rate_pooled),
         "autoreset_exact": round(rate_exact),
+        "autoreset_regen": round(rate_regen),
         "autoreset_pooled_imgobs_wrapped": round(rate_wrapped),
         "ppo_train_step": round(rate_ppo),
         "ppo_train_step_fresh_resets": round(rate_ppo_fresh),

@@ -3,8 +3,9 @@
 The reference ships no models (SURVEY.md §2: training lives in external
 rl-starter-files); a TPU-native framework needs a first-class learner, so
 this is the batteries-included policy for the batched envs: symbolic-view
-encoder (one-hot of the type/color/state planes — the same 20-bit encoding as
-the reference's OneHotPartialObsWrapper, wrappers.py:217-285), mission
+encoder (one-hot of the type/color/state planes, padded to 24 per cell —
+the reference's OneHotPartialObsWrapper encoding, wrappers.py:217-285,
+plus sublane-alignment pad columns), mission
 conditioning by masked mean-pooled token embeddings, direction one-hot,
 dense trunk in bfloat16 so the matmuls ride the MXU, and separate
 policy/value heads.
@@ -40,7 +41,7 @@ CELL_FEATURES = N_TYPE + N_COLOR + N_STATE  # 24
 
 
 def _encode_planes(t, c, s, dtype):
-    """(..., V, V) index planes -> (..., V*V*24) one-hot features."""
+    """(..., V, V) index planes -> (..., V*V*CELL_FEATURES) one-hot features."""
     feat = jnp.concatenate([
         jax.nn.one_hot(t, N_TYPE, dtype=dtype),
         jax.nn.one_hot(c, N_COLOR, dtype=dtype),
@@ -50,12 +51,13 @@ def _encode_planes(t, c, s, dtype):
 
 
 def encode_image(image: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """(..., V, V, 3) uint8 -> (..., V*V*20) one-hot features."""
+    """(..., V, V, 3) uint8 -> (..., V*V*24) one-hot features
+    (24 = CELL_FEATURES, the sublane-padded 12/8/4 type/color/state widths)."""
     return _encode_planes(image[..., 0], image[..., 1], image[..., 2], dtype)
 
 
 def encode_packed(cells: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """(..., V, V) packed int32 -> the same (..., V*V*20) features (the
+    """(..., V, V) packed int32 -> the same (..., V*V*24) features (the
     packed cell id is type | color<<4 | state<<7, core/obs.py)."""
     return _encode_planes(cells & 15, (cells >> 4) & 7, (cells >> 7) & 3,
                           dtype)
@@ -63,7 +65,7 @@ def encode_packed(cells: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
 
 def encode_obs(obs: dict, dtype=jnp.uint8) -> dict:
     """Raw env observation -> the policy's parameter-free input encoding:
-    ``{"img_feat": uint8 0/1 (..., V*V*20), "mission_counts": uint8
+    ``{"img_feat": uint8 0/1 (..., V*V*24), "mission_counts": uint8
     (..., VOCAB), "direction": int32}``.
 
     This is the form the PPO rollout stores in its trajectory buffer: the

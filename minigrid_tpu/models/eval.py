@@ -17,15 +17,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# jitted episode runners, keyed on everything that shapes the trace — a
+# fresh closure per call would defeat jax.jit's cache and pay a full
+# T-step-scan compile on every evaluation
+_RUN_CACHE: dict = {}
+
 
 def evaluate_success(env, model, params, n_episodes: int = 1024,
                      key: jax.Array | None = None,
-                     max_steps: int | None = None) -> float:
+                     max_steps: int | None = None,
+                     require_all_done: bool = True) -> float:
     """Fraction of ``n_episodes`` fresh episodes the greedy policy solves.
 
     Finished episodes freeze (their state stops updating), so each episode
     is evaluated exactly once; the scan runs the env's ``max_steps`` budget
-    (or an explicit cap) for the stragglers.
+    (or an explicit cap) for the stragglers. With ``require_all_done``
+    (default) the call raises if any episode is still running when the
+    scan budget ends — otherwise unfinished episodes would silently count
+    as failures; pass ``False`` to accept that as a conservative bound.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -38,6 +47,13 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
             f"env reports max_steps={T} (dynamic-budget sentinel); pass an "
             "explicit max_steps >= the level's episode budget")
     k_reset, k_run = jax.random.split(key)
+
+    cache_key = (id(env), id(model), T, n_episodes)
+    run = _RUN_CACHE.get(cache_key)
+    if run is not None:
+        success_rate, done_rate = run(
+            params, jax.random.split(k_reset, n_episodes), k_run)
+        return _finish(success_rate, done_rate, require_all_done, T)
 
     @jax.jit
     def run(params, keys_reset, k_run):
@@ -67,7 +83,18 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
             jax.random.split(k_run, T))
         return success.mean(), done.mean()
 
+    _RUN_CACHE[cache_key] = run
     success_rate, done_rate = run(
         params, jax.random.split(k_reset, n_episodes), k_run)
-    del done_rate  # all episodes end within max_steps by definition
+    return _finish(success_rate, done_rate, require_all_done, T)
+
+
+def _finish(success_rate, done_rate, require_all_done: bool, T: int):
+    done = float(done_rate)
+    if require_all_done and done < 1.0:
+        raise ValueError(
+            f"{(1 - done) * 100:.1f}% of episodes still running after the "
+            f"{T}-step scan budget — raise max_steps (they would otherwise "
+            "silently count as failures; pass require_all_done=False to "
+            "accept the conservative bound)")
     return float(success_rate)

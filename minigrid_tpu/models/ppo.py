@@ -43,13 +43,16 @@ class PPOConfig:
     num_epochs: int = 1
     num_minibatches: int = 4
     # minibatch shuffling:
-    #  - "rotate" (default): each epoch rolls the rollout's time axis by a
-    #    uniform random offset and cuts contiguous timestep slabs. One
-    #    bandwidth-speed copy of the buffer per epoch; every sample is used
-    #    exactly once per epoch and the partition changes every epoch/train
-    #    step (rollout_len distinct partitions). Profiled: the full
-    #    timestep permutation below spends ~9.6 ms/epoch gathering the
-    #    stored feature buffer at 131k samples x 980 features.
+    #  - "rotate" (default): zero-copy — minibatches are the FIXED
+    #    contiguous timestep slabs [i*mbt, (i+1)*mbt), visited in a
+    #    rotated random order each epoch. Slab composition does not vary,
+    #    but every train step fills the buffer with fresh data, so the
+    #    partition is unbiased; each sample is used exactly once per
+    #    epoch. Chosen because any data movement at this scale is real
+    #    money: the full timestep permutation gathers the stored feature
+    #    buffer at ~9.6 ms/epoch, and jnp.roll lowers to a 2x-padded
+    #    copy. Learning guards + the DoorKey/BabyAI success-rate runs
+    #    validate the reduced mixing.
     #  - "timestep": full random permutation of rollout steps, then
     #    contiguous slab cuts (exact timestep-level shuffling).
     #  - "sample": exact per-sample permutation (a per-row gather, ~3x
@@ -161,6 +164,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             env._stateless_chain()
     else:
         step_env = jax.vmap(env.step_autoreset)
+    fresh_window = 32
     if resets == "fresh":
         if fresh_buffer is None:
             ms = int(env.params.max_steps)
@@ -170,6 +174,13 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                     f"sentinel {ms}): pass fresh_buffer explicitly")
             mean = cfg.num_envs * cfg.rollout_len / ms
             fresh_buffer = int(mean * 1.2) + 8 * int(mean ** 0.5) + 64
+        # the per-step routing window must cover the same-step finisher
+        # count (~Poisson(B/max_steps) with staggered resets) or overflow
+        # ranks share the last row, quietly voiding the mode's
+        # independence guarantee; size it ~2x the mean + 6 sigma
+        mean_step = fresh_buffer / max(cfg.rollout_len, 1)
+        fresh_window = max(32, int(2 * mean_step
+                                   + 6 * mean_step ** 0.5) + 1)
 
     def _counts(tokens):
         from minigrid_tpu.core.mission import VOCAB_SIZE
@@ -189,7 +200,12 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         #  - wrapped/custom observations are stored as-is; the model must
         #    accept them directly
         std_obs = isinstance(obs, dict) and ("packed" in obs or "image" in obs)
-        carry_counts = std_obs and "mission" in obs and pooled
+        # counts are refreshed from the BARE reset state's tokens, so the
+        # carry is only valid when no wrapper transforms the mission
+        from minigrid_tpu.wrappers import Wrapper as _W
+
+        carry_counts = (std_obs and "mission" in obs and pooled
+                        and not isinstance(env, _W))
 
         def body(carry, xs_t):
             env_state, obs, counts, cursor = carry
@@ -227,7 +243,8 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             elif resets == "fresh":
                 obs2, env_state2, reward, term, trunc, _, cursor = \
                     env.step_autoreset_fresh(keys, env_state, action,
-                                             buffer, cursor)
+                                             buffer, cursor,
+                                             window=fresh_window)
             else:
                 obs2, env_state2, reward, term, trunc, _ = step_env(
                     keys, env_state, action)

@@ -57,9 +57,7 @@ def main():
     print(f"train_step: {dt*1e3:.2f} ms  ->"
           f" {BATCH*ROLLOUT/dt/1e6:.2f}M env-steps/s", flush=True)
 
-    # rollout-only timing (same jitted internals, no update phase)
-    ts_parts = make_train_step(env, model, cfg, opt, pooled=True)
-    # rebuild just the rollout via the module internals: jit a closure
+    # rollout-only timing: rebuild just the rollout phase and jit it
     from minigrid_tpu.envs.base import (autoreset_step_presampled,
                                         presample_reset_states)
 

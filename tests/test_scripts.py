@@ -2,6 +2,7 @@
 benchmark CLI helper and ManualControl driven by fake keyboard events."""
 
 import numpy as np
+import pytest
 
 import minigrid_tpu
 from minigrid_tpu.benchmark import benchmark
@@ -9,6 +10,7 @@ from minigrid_tpu.compat import GymnasiumAdapter
 from minigrid_tpu.manual_control import ManualControl
 
 
+@pytest.mark.nightly  # ~40s of compiles for a smoke, no unique coverage
 def test_benchmark():
     """The benchmark helper runs end-to-end for one env id (tiny sizes)."""
     res = benchmark("MiniGrid-Empty-5x5-v0", num_resets=2, num_frames=32)
