@@ -23,14 +23,22 @@ class RolloutChunk(NamedTuple):
 
 
 def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
-                 pooled: bool = False):
+                 pooled: bool = False, resets: str | None = None,
+                 fresh_buffer: int | None = None):
     """Build rollout(params, env_state, obs, key[, pool]) -> (env_state,
     obs, key, RolloutChunk). With ``policy_fn=None``, acts uniformly at
-    random. With ``pooled=True`` episode resets gather from a
-    :class:`~minigrid_tpu.envs.base.LayoutPool` passed as the trailing
-    argument (the fast training-loop path; see envs/base.py)."""
+    random. Reset modes mirror ``models/ppo.py make_train_step``:
+    ``"regen"`` (default), ``"pooled"`` (LayoutPool passed as the trailing
+    argument), or ``"fresh"`` (exact-distribution resets from an in-call
+    buffer of independent layouts; ``fresh_buffer`` sizes it — required
+    for dynamic-budget envs)."""
 
-    if pooled:
+    if resets is None:
+        resets = "pooled" if pooled else "regen"
+    assert resets in ("regen", "pooled", "fresh"), resets
+    pooled = resets == "pooled"
+
+    if resets in ("pooled", "fresh"):
         from minigrid_tpu.envs.base import presample_reset_states
         from minigrid_tpu.wrappers import Wrapper
 
@@ -38,10 +46,29 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
             env._stateless_chain()  # raises for stateful wrapper stacks
     else:
         step = jax.vmap(env.step_autoreset)
+    fresh_window = 32
+    if resets == "fresh" and fresh_buffer is None:
+        ms = int(env.params.max_steps)
+        if ms > 1 << 16:
+            raise ValueError(
+                "resets='fresh' on a dynamic-budget env: pass fresh_buffer")
+        # per-env batch size is unknown until call time; sized in rollout
 
     def rollout(params, env_state, obs, key, pool=None):
+        B = jax.tree.leaves(obs)[0].shape[0]
+        if resets == "fresh":
+            n_buf = fresh_buffer
+            if n_buf is None:
+                mean = B * length / int(env.params.max_steps)
+                n_buf = int(mean * 1.2) + 8 * int(mean ** 0.5) + 64
+            mean_step = n_buf / max(length, 1)
+            window = max(fresh_window,
+                         int(2 * mean_step + 6 * mean_step ** 0.5) + 1)
+            key, k_buf = jax.random.split(key)
+            buffer = env.presample_fresh(k_buf, n_buf)
+
         def body(carry, st_r):
-            env_state, obs, key = carry
+            env_state, obs, key, cursor = carry
             key, k_act, k_step = jax.random.split(key, 3)
             batch = jax.tree.leaves(obs)[0].shape[0]
             if policy_fn is None:
@@ -54,10 +81,14 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
                 obs2, env_state2, reward, term, trunc, _ = \
                     env.step_autoreset_presampled(keys, env_state, action,
                                                   st_r)
+            elif resets == "fresh":
+                obs2, env_state2, reward, term, trunc, _, cursor = \
+                    env.step_autoreset_fresh(keys, env_state, action,
+                                             buffer, cursor, window=window)
             else:
                 obs2, env_state2, reward, term, trunc, _ = step(
                     keys, env_state, action)
-            return (env_state2, obs2, key), RolloutChunk(
+            return (env_state2, obs2, key, cursor), RolloutChunk(
                 obs, action, reward, term | trunc)
 
         if pooled:
@@ -65,8 +96,9 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
             xs = presample_reset_states(k_pre, pool, length)
         else:
             xs = None
-        (env_state, obs, key), chunk = jax.lax.scan(
-            body, (env_state, obs, key), xs, length=length)
+        (env_state, obs, key, _), chunk = jax.lax.scan(
+            body, (env_state, obs, key, jnp.zeros((), jnp.int32)), xs,
+            length=length)
         return env_state, obs, key, chunk
 
     return rollout
