@@ -158,3 +158,83 @@ def init_params(key, view_size: int = 7, mission_len: int = 64,
         "mission": jnp.zeros((1, mission_len), jnp.int32),
     }
     return model.init(key, obs)
+
+
+class ActorCriticRNN(nn.Module):
+    """Recurrent actor-critic: the same parameter-free encoders feeding a
+    GRU whose hidden state carries across steps — the policy family the
+    reference ecosystem reaches for on memory tasks (rl-starter-files'
+    ``--recurrence``; e.g. the Memory envs are unsolvable for a
+    memoryless policy: the clue object leaves the 7x7 view before the
+    choice point).
+
+    Functional cell interface (state is explicit, like the envs):
+
+        h0 = model.initial_state(batch)                  # (B, hidden)
+        (logits, value), h1 = model.apply(params, obs, h0)
+
+    The PPO driver (models/ppo.py) detects ``is_recurrent`` and threads
+    the hidden state through rollout and update: resets zero it per env,
+    and minibatch slabs replay the GRU from the hidden state stored at
+    the slab's first step (standard truncated BPTT over contiguous
+    timestep slabs — exactly the shape the default "rotate" minibatch
+    partition provides).
+    """
+
+    hidden: int = 256
+    mission_dim: int = 64
+    num_actions: int = NUM_ACTIONS
+    dtype: jnp.dtype = jnp.bfloat16
+    is_recurrent: bool = True
+
+    @nn.compact
+    def __call__(self, obs: dict, h: jax.Array):
+        if "img_feat" in obs:
+            img = obs["img_feat"].astype(self.dtype)
+        elif "packed" in obs:
+            img = encode_packed(obs["packed"], self.dtype)
+        else:
+            img = encode_image(obs["image"], self.dtype)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="img_in")(img)
+        x = nn.relu(x)
+
+        if "mission_counts" in obs:
+            counts = obs["mission_counts"]
+        else:
+            tokens = obs["mission"]
+            counts = (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2)
+        counts = counts.astype(self.dtype) * (jnp.arange(VOCAB_SIZE) != 0)
+        n = counts.sum(-1, keepdims=True)
+        table = self.param(
+            "mission_embed", nn.initializers.normal(stddev=1.0),
+            (VOCAB_SIZE, self.mission_dim))
+        pooled = (counts @ table.astype(self.dtype)) / jnp.maximum(n, 1)
+
+        d = jax.nn.one_hot(obs["direction"], 4, dtype=self.dtype)
+        x = jnp.concatenate([x, pooled, d], axis=-1)
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="trunk1")(x))
+
+        h, x = nn.GRUCell(self.hidden, dtype=self.dtype, name="gru")(h, x)
+
+        logits = nn.Dense(self.num_actions, dtype=jnp.float32,
+                          name="policy")(x)
+        value = nn.Dense(1, dtype=jnp.float32, name="value")(x)
+        return (logits, value.squeeze(-1)), h
+
+    def initial_state(self, batch: int) -> jax.Array:
+        return jnp.zeros((batch, self.hidden), self.dtype)
+
+
+def init_params_rnn(key, view_size: int = 7, mission_len: int = 64,
+                    model: ActorCriticRNN | None = None,
+                    packed: bool = False):
+    model = model or ActorCriticRNN()
+    if packed:
+        view = {"packed": jnp.zeros((1, view_size, view_size), jnp.int32)}
+    else:
+        view = {"image": jnp.zeros((1, view_size, view_size, 3), jnp.uint8)}
+    obs = view | {
+        "direction": jnp.zeros((1,), jnp.int32),
+        "mission": jnp.zeros((1, mission_len), jnp.int32),
+    }
+    return model.init(key, obs, model.initial_state(1))

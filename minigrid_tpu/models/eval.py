@@ -55,13 +55,18 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
             params, jax.random.split(k_reset, n_episodes), k_run)
         return _finish(success_rate, done_rate, require_all_done, T)
 
+    recurrent = bool(getattr(model, "is_recurrent", False))
+
     @jax.jit
     def run(params, keys_reset, k_run):
         obs, st = jax.vmap(env.reset)(keys_reset)
 
         def body(carry, k):
-            st, obs, done, success = carry
-            logits, _ = model.apply(params, obs)
+            st, obs, h, done, success = carry
+            if recurrent:
+                (logits, _), h = model.apply(params, obs, h)
+            else:
+                logits, _ = model.apply(params, obs)
             action = jnp.argmax(logits, axis=-1)
             keys = jax.random.split(k, n_episodes)
             obs2, st2, r, te, tr, _ = jax.vmap(env.step)(keys, st, action)
@@ -75,11 +80,12 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
             obs = jax.tree.map(lambda a, b: jnp.where(frozen(a), a, b),
                                obs, obs2)
             done = done | te | tr
-            return (st, obs, done, success), None
+            return (st, obs, h, done, success), None
 
+        h0 = model.initial_state(n_episodes) if recurrent else None
         done0 = jnp.zeros((n_episodes,), bool)
-        (st, obs, done, success), _ = jax.lax.scan(
-            body, (st, obs, done0, jnp.zeros((n_episodes,), bool)),
+        (st, obs, _, done, success), _ = jax.lax.scan(
+            body, (st, obs, h0, done0, jnp.zeros((n_episodes,), bool)),
             jax.random.split(k_run, T))
         return success.mean(), done.mean()
 

@@ -68,6 +68,10 @@ class Transition(NamedTuple):
     value: jax.Array
     reward: jax.Array
     done: jax.Array
+    # recurrent policies only: the hidden state FED INTO this step's
+    # forward (minibatch slabs replay the GRU from their first step's
+    # stored hidden — truncated BPTT over contiguous slabs)
+    hidden: Any = None
 
 
 def _selected_log_prob(log_probs, action):
@@ -136,11 +140,25 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
       argument or refreshing needed. ``fresh_buffer`` overrides the
       buffer size (required for dynamic-budget envs like BabyAI levels,
       whose ``params.max_steps`` is a sentinel).
+
+    Recurrent policies (``model.is_recurrent``, e.g.
+    :class:`~minigrid_tpu.models.actor_critic.ActorCriticRNN`) change the
+    signature to ``train_step(params, opt_state, env_state, obs, h, key[,
+    pool]) -> (params, opt_state, env_state, obs, h, key, metrics)``: the
+    hidden state threads across train steps, resets to zero per finished
+    env, and each minibatch slab replays the cell from its first step's
+    stored hidden (truncated BPTT — requires the contiguous "rotate"
+    minibatch partition).
     """
     if resets is None:
         resets = "pooled" if pooled else "regen"
     assert resets in ("regen", "pooled", "fresh"), resets
     pooled = resets == "pooled"
+    recurrent = bool(getattr(model, "is_recurrent", False))
+    if recurrent:
+        assert cfg.shuffle == "rotate", (
+            "recurrent training needs contiguous timestep slabs: "
+            "shuffle='rotate' (got {cfg.shuffle})")
 
     if cfg.shuffle in ("rotate", "timestep"):
         assert cfg.rollout_len % cfg.num_minibatches == 0, (
@@ -188,7 +206,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         return (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2) \
             .astype(jnp.uint8)
 
-    def rollout(params, env_state, obs, key, pool):
+    def rollout(params, env_state, obs, key, pool, h0=None):
         B, T = cfg.num_envs, cfg.rollout_len
         # observation formats (decided at trace time, static):
         #  - the native dict obs with mission tokens gets the full fast
@@ -208,7 +226,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                         and not isinstance(env, _W))
 
         def body(carry, xs_t):
-            env_state, obs, counts, cursor = carry
+            env_state, obs, counts, cursor, h = carry
             keys, gumbel = xs_t[0], xs_t[1]
             # parameter-free encoding computed ONCE: feeds the behaviour
             # forward AND the trajectory buffer, so the update phase never
@@ -223,7 +241,11 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                 enc = encode_obs(obs)
             else:
                 enc = obs
-            logits, value = model.apply(params, enc)
+            if recurrent:
+                h_in = h
+                (logits, value), h = model.apply(params, enc, h)
+            else:
+                logits, value = model.apply(params, enc)
             # categorical sampling with presampled Gumbel noise (all
             # per-step randomness — action noise and env step keys — is
             # drawn in two batched passes outside the scan and fed through
@@ -248,9 +270,14 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             else:
                 obs2, env_state2, reward, term, trunc, _ = step_env(
                     keys, env_state, action)
-            t = Transition(enc, action, log_prob, value, reward,
-                           term | trunc)
-            return (env_state2, obs2, counts, cursor), t
+            done = term | trunc
+            if recurrent:
+                # zero the hidden state of finished envs: the next step's
+                # forward starts the new episode from h=0
+                h = h * (1.0 - done[:, None].astype(h.dtype))
+            t = Transition(enc, action, log_prob, value, reward, done,
+                           h_in if recurrent else None)
+            return (env_state2, obs2, counts, cursor, h), t
 
         counts0 = _counts(obs["mission"]) if carry_counts else jnp.zeros(())
         key, k_act, k_step = jax.random.split(key, 3)
@@ -270,11 +297,12 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             buffer = env.presample_fresh(k_buf, fresh_buffer)
         else:
             buffer = None
-        (env_state, obs, counts0, _), traj = jax.lax.scan(
-            body, (env_state, obs, counts0, jnp.zeros((), jnp.int32)), xs,
+        (env_state, obs, counts0, _, h0), traj = jax.lax.scan(
+            body,
+            (env_state, obs, counts0, jnp.zeros((), jnp.int32), h0), xs,
             length=cfg.rollout_len
         )
-        return env_state, obs, key, traj
+        return env_state, obs, key, traj, h0
 
     def gae(traj: Transition, last_value):
         def body(carry, t):
@@ -290,7 +318,21 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         return advs, advs + traj.value
 
     def loss_fn(params, batch: Transition, adv, ret):
-        logits, value = model.apply(params, batch.obs)
+        if recurrent:
+            # replay the cell over the contiguous (mbt, B) slab from its
+            # first step's STORED hidden (truncated BPTT; the stored h was
+            # computed under the rollout's params — the standard
+            # approximation), re-zeroing after in-slab episode ends
+            def cell(h, xs):
+                obs_t, done_t = xs
+                (logits_t, value_t), h = model.apply(params, obs_t, h)
+                h = h * (1.0 - done_t[:, None].astype(h.dtype))
+                return h, (logits_t, value_t)
+
+            _, (logits, value) = jax.lax.scan(
+                cell, batch.hidden[0], (batch.obs, batch.done))
+        else:
+            logits, value = model.apply(params, batch.obs)
         log_probs = jax.nn.log_softmax(logits)
         lp = _selected_log_prob(log_probs, batch.action)
         ratio = jnp.exp(lp - batch.log_prob)
@@ -306,9 +348,13 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             "entropy": entropy,
         }
 
-    def train_step(params, opt_state, env_state, obs, key, pool=None):
-        env_state, obs, key, traj = rollout(params, env_state, obs, key, pool)
-        _, last_value = model.apply(params, obs)
+    def train_step_core(params, opt_state, env_state, obs, key, pool, h):
+        env_state, obs, key, traj, h = rollout(params, env_state, obs, key,
+                                               pool, h)
+        if recurrent:
+            (_, last_value), _ = model.apply(params, obs, h)
+        else:
+            _, last_value = model.apply(params, obs)
         adv, ret = gae(traj, last_value)
 
         T = cfg.rollout_len
@@ -401,6 +447,19 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         )
         metrics = jax.tree.map(lambda x: x.mean(), metrics)
         metrics["mean_reward"] = traj.reward.mean()
-        return params, opt_state, env_state, obs, key, metrics
+        return params, opt_state, env_state, obs, key, metrics, h
+
+    if recurrent:
+        def train_step(params, opt_state, env_state, obs, h, key, pool=None):
+            (params, opt_state, env_state, obs, key, metrics,
+             h) = train_step_core(params, opt_state, env_state, obs, key,
+                                  pool, h)
+            return params, opt_state, env_state, obs, h, key, metrics
+    else:
+        def train_step(params, opt_state, env_state, obs, key, pool=None):
+            (params, opt_state, env_state, obs, key, metrics,
+             _) = train_step_core(params, opt_state, env_state, obs, key,
+                                  pool, None)
+            return params, opt_state, env_state, obs, key, metrics
 
     return train_step

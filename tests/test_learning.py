@@ -189,3 +189,44 @@ def test_ppo_learns_fresh_resets():
     assert last > 5 * max(first, 1e-4), (
         f"no learning with fresh resets: first5={first:.4f} "
         f"last5={last:.4f}")
+
+
+def test_ppo_learns_recurrent():
+    """The recurrent policy family (ActorCriticRNN + truncated-BPTT PPO)
+    must learn through the fresh-reset fast path: hidden state threads
+    across train steps, resets per finished env, and minibatch slabs
+    replay the GRU from stored hiddens."""
+    from minigrid_tpu.models.actor_critic import (ActorCriticRNN,
+                                                  init_params_rnn)
+
+    env = minigrid_tpu.make("MiniGrid-Empty-5x5-v0").packed()
+    cfg = PPOConfig(num_envs=128, rollout_len=64, lr=1e-3)
+    model = ActorCriticRNN(hidden=64)
+    opt = make_optimizer(cfg)
+    params = init_params_rnn(jax.random.PRNGKey(0), model=model, packed=True)
+    opt_state = opt.init(params)
+    obs, st = jax.jit(jax.vmap(env.reset_staggered))(
+        jax.random.split(jax.random.PRNGKey(1), cfg.num_envs))
+    h = model.initial_state(cfg.num_envs)
+    ts = jax.jit(make_train_step(env, model, cfg, opt, resets="fresh"),
+                 donate_argnums=(0, 1, 2, 3))
+    key = jax.random.PRNGKey(2)
+    rewards = []
+    for _ in range(30):
+        params, opt_state, st, obs, h, key, m = ts(
+            params, opt_state, st, obs, h, key)
+        rewards.append(float(m["mean_reward"]))
+    first, last = sum(rewards[:5]) / 5, sum(rewards[-5:]) / 5
+    assert last > 0.10, f"final reward {last:.4f} too low: {rewards}"
+    assert last > 5 * max(first, 1e-4), (
+        f"no learning with the recurrent policy: first5={first:.4f} "
+        f"last5={last:.4f}")
+    # recurrent training requires contiguous slabs
+    import dataclasses
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        make_train_step(env, model,
+                        dataclasses.replace(cfg, shuffle="timestep"), opt,
+                        resets="fresh")
