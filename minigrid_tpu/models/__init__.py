@@ -1,8 +1,13 @@
-from minigrid_tpu.models.actor_critic import ActorCritic, init_params
-from minigrid_tpu.models.ppo import PPOConfig, make_optimizer, make_train_step
+from minigrid_tpu.models.actor_critic import (ActorCritic, ActorCriticRNN,
+                                              encode_obs, init_params,
+                                              init_params_rnn)
+from minigrid_tpu.models.eval import evaluate_success
+from minigrid_tpu.models.ppo import (PPOConfig, make_optimizer,
+                                     make_train_loop, make_train_step)
 from minigrid_tpu.models.train import TrainConfig, train
 
 __all__ = [
-    "ActorCritic", "init_params", "PPOConfig", "make_optimizer",
-    "make_train_step", "TrainConfig", "train",
+    "ActorCritic", "ActorCriticRNN", "encode_obs", "init_params",
+    "init_params_rnn", "evaluate_success", "PPOConfig", "make_optimizer",
+    "make_train_loop", "make_train_step", "TrainConfig", "train",
 ]
