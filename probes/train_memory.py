@@ -59,7 +59,12 @@ def main():
     obs, st = jax.jit(jax.vmap(env.reset_staggered))(
         jax.random.split(k_env, cfg.num_envs))
     h = None if mlp else model.initial_state(cfg.num_envs)
-    ts = jax.jit(make_train_step(env, model, cfg, opt, resets="fresh"),
+    # dynamic-budget envs (BabyAI): size the fresh buffer for episodes as
+    # short as 8 steps (trained GoTo policies finish fast)
+    fb = (cfg.num_envs * cfg.rollout_len // 8
+          if env.params.max_steps > 1 << 16 else None)
+    ts = jax.jit(make_train_step(env, model, cfg, opt, resets="fresh",
+                                 fresh_buffer=fb),
                  donate_argnums=(0, 1, 2, 3))
     t0 = time.perf_counter()
     rate = 0.0
@@ -72,8 +77,10 @@ def main():
                 params, opt_state, st, obs, h, key)
         jax.block_until_ready(m["loss"])
         if u < 2 or (u + 1) % 16 == 0:
+            cap = 1024 if env.params.max_steps > (1 << 16) else None
             rate = evaluate_success(env, model, params, n_episodes=1024,
-                                    key=jax.random.fold_in(key, u))
+                                    key=jax.random.fold_in(key, u),
+                                    max_steps=cap)
             print(json.dumps({
                 "model": "mlp" if mlp else "rnn", "update": u + 1,
                 "mean_reward": round(float(m["mean_reward"]), 4),
