@@ -95,6 +95,22 @@ def make_train_loop(env, model: "ActorCritic", cfg: "PPOConfig", optimizer,
     refresh cadence. Returns ``train_loop(params, opt_state, env_state,
     obs, key[, pool]) -> (..., metrics)`` with metrics stacked (K,)."""
     step = make_train_step(env, model, cfg, optimizer, **kw)
+    if getattr(model, "is_recurrent", False):
+        def train_loop(params, opt_state, env_state, obs, h, key,
+                       pool=None):
+            def body(carry, _):
+                params, opt_state, env_state, obs, h, key = carry
+                params, opt_state, env_state, obs, h, key, m = step(
+                    params, opt_state, env_state, obs, h, key, pool)
+                return (params, opt_state, env_state, obs, h, key), m
+
+            (params, opt_state, env_state, obs, h, key), metrics = \
+                jax.lax.scan(body,
+                             (params, opt_state, env_state, obs, h, key),
+                             None, length=steps_per_call)
+            return params, opt_state, env_state, obs, h, key, metrics
+
+        return train_loop
 
     def train_loop(params, opt_state, env_state, obs, key, pool=None):
         def body(carry, _):

@@ -33,10 +33,14 @@ class TrainConfig:
     hidden: int = 256
     seed: int = 0
     packed_obs: bool = True        # single-lane observations (fast path)
+    # recurrent policy (ActorCriticRNN): hidden state threads across
+    # updates; requires shuffle="rotate" (the default)
+    recurrent: bool = False
     # reset mode: None -> "pooled" if pool_size > 0 else "regen";
     # "fresh" = exact-distribution resets from an in-step buffer
     # (no pool, near-pooled speed — models/ppo.py make_train_step)
     resets: str | None = None
+    fresh_buffer: int | None = None  # override for dynamic-budget envs
     # train steps scanned per compiled dispatch (make_train_loop):
     # amortizes ~3 ms host latency per dispatch; with pooled resets one
     # pool serves the whole call (so this doubles as the refresh cadence)
@@ -56,24 +60,33 @@ def train(env_id: str, cfg: TrainConfig = TrainConfig(),
     if cfg.packed_obs:
         env = env.packed()
     pcfg = cfg.ppo
-    model = ActorCritic(hidden=cfg.hidden)
+    if cfg.recurrent:
+        from minigrid_tpu.models.actor_critic import (ActorCriticRNN,
+                                                      init_params_rnn)
+
+        model = ActorCriticRNN(hidden=cfg.hidden)
+        _init = init_params_rnn
+    else:
+        model = ActorCritic(hidden=cfg.hidden)
+        _init = init_params
     opt = make_optimizer(pcfg)
     key = jax.random.PRNGKey(cfg.seed)
     k_init, k_env, k_pool, key = jax.random.split(key, 4)
-    params = init_params(k_init, view_size=env.params.view_size,
-                         model=model, packed=cfg.packed_obs)
+    params = _init(k_init, view_size=env.params.view_size,
+                   model=model, packed=cfg.packed_obs)
 
     resets = cfg.resets or ("pooled" if cfg.pool_size > 0 else "regen")
     pooled = resets == "pooled"
     pool = (make_layout_pool(env, k_pool, cfg.pool_size) if pooled else None)
     K = max(1, cfg.steps_per_call)
+    kw = dict(resets=resets, fresh_buffer=cfg.fresh_buffer)
     if K > 1:
         from minigrid_tpu.models.ppo import make_train_loop
 
         train_step = make_train_loop(env, model, pcfg, opt,
-                                     steps_per_call=K, resets=resets)
+                                     steps_per_call=K, **kw)
     else:
-        train_step = make_train_step(env, model, pcfg, opt, resets=resets)
+        train_step = make_train_step(env, model, pcfg, opt, **kw)
 
     if cfg.devices > 1:
         from minigrid_tpu.parallel import mesh as M
@@ -82,26 +95,32 @@ def train(env_id: str, cfg: TrainConfig = TrainConfig(),
         params = M.shard_params(mesh, params)
         reset = jax.jit(jax.vmap(env.reset_staggered),
                         out_shardings=(M.batch_sharding(mesh),) * 2)
-        train_step = jax.jit(
-            train_step,
-            in_shardings=(M.param_shardings(mesh, params), None,
-                          M.batch_sharding(mesh), M.batch_sharding(mesh),
-                          None, None),
-            donate_argnums=(0, 1, 2, 3))
+        bs = M.batch_sharding(mesh)
+        in_sh = ((M.param_shardings(mesh, params), None, bs, bs, bs, None,
+                  None) if cfg.recurrent else
+                 (M.param_shardings(mesh, params), None, bs, bs, None,
+                  None))
+        train_step = jax.jit(train_step, in_shardings=in_sh,
+                             donate_argnums=(0, 1, 2, 3))
     else:
         reset = jax.jit(jax.vmap(env.reset_staggered))
         train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
     opt_state = opt.init(params)  # after optional sharding: init once
 
     obs, st = reset(jax.random.split(k_env, pcfg.num_envs))
+    h = model.initial_state(pcfg.num_envs) if cfg.recurrent else None
 
     steps_per_update = pcfg.num_envs * pcfg.rollout_len * K
     num_updates = max(1, cfg.total_env_steps // steps_per_update)
     history = []
     t0 = time.perf_counter()
     for u in range(num_updates):
-        params, opt_state, st, obs, key, m = train_step(
-            params, opt_state, st, obs, key, pool)
+        if cfg.recurrent:
+            params, opt_state, st, obs, h, key, m = train_step(
+                params, opt_state, st, obs, h, key, pool)
+        else:
+            params, opt_state, st, obs, key, m = train_step(
+                params, opt_state, st, obs, key, pool)
         if K > 1:  # metrics stacked (K, ...): report the last step's
             m = jax.tree.map(lambda x: x[-1], m)
         if pooled and (u + 1) % cfg.pool_refresh_every == 0:
