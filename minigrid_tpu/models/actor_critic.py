@@ -95,6 +95,48 @@ def encode_obs(obs: dict, dtype=jnp.uint8) -> dict:
             "direction": obs["direction"]}
 
 
+def _trunk_input(mod: nn.Module, obs: dict) -> jax.Array:
+    """Shared encoder front: view features through the ``img_in`` dense,
+    mission conditioning, direction one-hot, concatenated. Called from
+    inside a module's ``@nn.compact`` ``__call__`` (parameter names
+    ``img_in``/``mission_embed`` land in the calling module's scope) so
+    the MLP and recurrent heads can never drift apart.
+
+    Mission conditioning is a masked mean-pool of token embeddings,
+    computed as a count contraction (see module docstring); column 0 is
+    the pad token and is excluded from counts and normalization. Accepts
+    precomputed "mission_counts" (uint8 vocabulary counts — the PPO
+    rollout stores these instead of raw tokens: 64 B/sample instead of
+    384 B, same pooled embedding exactly). Counts convert straight to the
+    compute dtype (they are <= MISSION_LEN, exact in bf16), so the uint8
+    rollout buffer converts inside the minibatch slice fusion instead of
+    via an s32 intermediate.
+    """
+    if "img_feat" in obs:
+        img = obs["img_feat"].astype(mod.dtype)
+    elif "packed" in obs:
+        img = encode_packed(obs["packed"], mod.dtype)
+    else:
+        img = encode_image(obs["image"], mod.dtype)
+    x = nn.Dense(mod.hidden, dtype=mod.dtype, name="img_in")(img)
+    x = nn.relu(x)
+
+    if "mission_counts" in obs:
+        counts = obs["mission_counts"]
+    else:
+        tokens = obs["mission"]
+        counts = (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2)
+    counts = counts.astype(mod.dtype) * (jnp.arange(VOCAB_SIZE) != 0)
+    n = counts.sum(-1, keepdims=True)
+    table = mod.param(
+        "mission_embed", nn.initializers.normal(stddev=1.0),
+        (VOCAB_SIZE, mod.mission_dim))
+    pooled = (counts @ table.astype(mod.dtype)) / jnp.maximum(n, 1)
+
+    d = jax.nn.one_hot(obs["direction"], 4, dtype=mod.dtype)
+    return jnp.concatenate([x, pooled, d], axis=-1)
+
+
 class ActorCritic(nn.Module):
     hidden: int = 256
     mission_dim: int = 64
@@ -103,39 +145,7 @@ class ActorCritic(nn.Module):
 
     @nn.compact
     def __call__(self, obs: dict):
-        if "img_feat" in obs:
-            img = obs["img_feat"].astype(self.dtype)
-        elif "packed" in obs:
-            img = encode_packed(obs["packed"], self.dtype)
-        else:
-            img = encode_image(obs["image"], self.dtype)
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="img_in")(img)
-        x = nn.relu(x)
-
-        # mission conditioning: masked mean-pooled token embeddings,
-        # computed as a count contraction (see module docstring); column 0
-        # is the pad token and is excluded from counts and normalization.
-        # Accepts precomputed "mission_counts" (uint8 vocabulary counts —
-        # the PPO rollout stores these instead of raw tokens: 64 B/sample
-        # instead of 384 B, same pooled embedding exactly).
-        if "mission_counts" in obs:
-            counts = obs["mission_counts"]
-        else:
-            tokens = obs["mission"]
-            counts = (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2)
-        # straight to the compute dtype (counts <= MISSION_LEN are exact in
-        # bf16), so the uint8 rollout buffer converts inside the minibatch
-        # slice fusion instead of via an s32 intermediate
-        counts = counts.astype(self.dtype) * (jnp.arange(VOCAB_SIZE) != 0)
-        n = counts.sum(-1, keepdims=True)
-        table = self.param(
-            "mission_embed", nn.initializers.normal(stddev=1.0),
-            (VOCAB_SIZE, self.mission_dim))
-        pooled = (counts @ table.astype(self.dtype)) / jnp.maximum(n, 1)
-
-        d = jax.nn.one_hot(obs["direction"], 4, dtype=self.dtype)
-        x = jnp.concatenate([x, pooled, d], axis=-1)
-
+        x = _trunk_input(self, obs)
         x = nn.Dense(self.hidden, dtype=self.dtype, name="trunk1")(x)
         x = nn.relu(x)
         x = nn.Dense(self.hidden, dtype=self.dtype, name="trunk2")(x)
@@ -189,29 +199,7 @@ class ActorCriticRNN(nn.Module):
 
     @nn.compact
     def __call__(self, obs: dict, h: jax.Array):
-        if "img_feat" in obs:
-            img = obs["img_feat"].astype(self.dtype)
-        elif "packed" in obs:
-            img = encode_packed(obs["packed"], self.dtype)
-        else:
-            img = encode_image(obs["image"], self.dtype)
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="img_in")(img)
-        x = nn.relu(x)
-
-        if "mission_counts" in obs:
-            counts = obs["mission_counts"]
-        else:
-            tokens = obs["mission"]
-            counts = (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2)
-        counts = counts.astype(self.dtype) * (jnp.arange(VOCAB_SIZE) != 0)
-        n = counts.sum(-1, keepdims=True)
-        table = self.param(
-            "mission_embed", nn.initializers.normal(stddev=1.0),
-            (VOCAB_SIZE, self.mission_dim))
-        pooled = (counts @ table.astype(self.dtype)) / jnp.maximum(n, 1)
-
-        d = jax.nn.one_hot(obs["direction"], 4, dtype=self.dtype)
-        x = jnp.concatenate([x, pooled, d], axis=-1)
+        x = _trunk_input(self, obs)
         x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="trunk1")(x))
 
         h, x = nn.GRUCell(self.hidden, dtype=self.dtype, name="gru")(h, x)

@@ -51,9 +51,10 @@ def behavior_clone(model, params, demos, epochs: int = 10,
         key = jax.random.PRNGKey(0)
     flat = flatten_demos(demos)
     M = flat["action"].shape[0]
+    batch_size = min(batch_size, M)  # small demo sets: one short batch
     n_batches = max(1, M // batch_size)
     keep = n_batches * batch_size
-    perm = np.random.default_rng(0).permutation(M)[:keep]
+    perm = np.asarray(jax.random.permutation(key, M))[:keep]
     data = {k: jnp.asarray(v[perm]).reshape(n_batches, batch_size,
                                             *v.shape[1:])
             for k, v in flat.items()}

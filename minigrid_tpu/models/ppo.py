@@ -174,7 +174,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
     if recurrent:
         assert cfg.shuffle == "rotate", (
             "recurrent training needs contiguous timestep slabs: "
-            "shuffle='rotate' (got {cfg.shuffle})")
+            f"shuffle='rotate' (got {cfg.shuffle})")
 
     if cfg.shuffle in ("rotate", "timestep"):
         assert cfg.rollout_len % cfg.num_minibatches == 0, (
@@ -215,6 +215,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         mean_step = fresh_buffer / max(cfg.rollout_len, 1)
         fresh_window = max(32, int(2 * mean_step
                                    + 6 * mean_step ** 0.5) + 1)
+        fresh_window = min(fresh_window, fresh_buffer)  # never outsize it
 
     def _counts(tokens):
         from minigrid_tpu.core.mission import VOCAB_SIZE
@@ -333,7 +334,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         )
         return advs, advs + traj.value
 
-    def loss_fn(params, batch: Transition, adv, ret):
+    def loss_fn(params, batch: Transition, adv, ret, h0=None):
         if recurrent:
             # replay the cell over the contiguous (mbt, B) slab from its
             # first step's STORED hidden (truncated BPTT; the stored h was
@@ -346,7 +347,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                 return h, (logits_t, value_t)
 
             _, (logits, value) = jax.lax.scan(
-                cell, batch.hidden[0], (batch.obs, batch.done))
+                cell, h0, (batch.obs, batch.done))
         else:
             logits, value = model.apply(params, batch.obs)
         log_probs = jax.nn.log_softmax(logits)
@@ -374,6 +375,16 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         adv, ret = gae(traj, last_value)
 
         T = cfg.rollout_len
+        if recurrent:
+            # only the rotate-slab START hiddens are replayed from
+            # (truncated BPTT); subselect them (num_minibatches rows) and
+            # drop the (T, B, H) buffer from the minibatch data so the
+            # per-epoch slab slices never copy it
+            mbt_r = T // cfg.num_minibatches
+            slab_h = traj.hidden[::mbt_r]
+            traj = traj._replace(hidden=None)
+        else:
+            slab_h = None
         data = (traj, adv, ret)
 
         def epoch(carry, _):
@@ -439,15 +450,19 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                     # XLA feed the sliced slab to the matmuls without the
                     # (mbt*B, F) relayout copy
                     j = (i + off) % cfg.num_minibatches
-                    return jax.tree.map(
+                    sl = jax.tree.map(
                         lambda x: jax.lax.dynamic_slice_in_dim(
                             x, j * mbt, mbt), data)
+                    if recurrent:  # this slab's stored start hidden
+                        return sl + (jax.lax.dynamic_slice_in_dim(
+                            slab_h, j, 1)[0],)
+                    return sl
 
             def mini(carry, i):
                 params, opt_state = carry
-                batch, adv_mb, ret_mb = get_mb(i)
+                batch, adv_mb, ret_mb, *h0 = get_mb(i)
                 (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, batch, adv_mb, ret_mb
+                    params, batch, adv_mb, ret_mb, *h0
                 )
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)

@@ -64,6 +64,7 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
             mean_step = n_buf / max(length, 1)
             window = max(fresh_window,
                          int(2 * mean_step + 6 * mean_step ** 0.5) + 1)
+            window = min(window, n_buf)  # never slice past the buffer
             key, k_buf = jax.random.split(key)
             buffer = env.presample_fresh(k_buf, n_buf)
 

@@ -68,6 +68,8 @@ def main():
                  donate_argnums=(0, 1, 2, 3))
     t0 = time.perf_counter()
     rate = 0.0
+    u = -1
+    last_eval = -1
     for u in range(budget):
         if mlp:
             params, opt_state, st, obs, key, m = ts(
@@ -81,6 +83,7 @@ def main():
             rate = evaluate_success(env, model, params, n_episodes=1024,
                                     key=jax.random.fold_in(key, u),
                                     max_steps=cap)
+            last_eval = u
             print(json.dumps({
                 "model": "mlp" if mlp else "rnn", "update": u + 1,
                 "mean_reward": round(float(m["mean_reward"]), 4),
@@ -88,6 +91,11 @@ def main():
                 "wall_s": round(time.perf_counter() - t0, 1)}), flush=True)
             if rate >= target:
                 break
+    if u >= 0 and last_eval != u:  # re-evaluate the FINAL parameters
+        cap = 1024 if env.params.max_steps > (1 << 16) else None
+        rate = evaluate_success(env, model, params, n_episodes=1024,
+                                key=jax.random.fold_in(key, u),
+                                max_steps=cap)
     print(json.dumps({
         "final": True, "env_id": env_id,
         "model": "mlp" if mlp else "rnn",
