@@ -18,13 +18,16 @@ def generate(out_dir: str = "docs/environments") -> None:
         env = registry.make(env_id)
         by_class[type(env)].append(env_id)
 
+    from docs.site_utils import env_name_format, trim_docstring
+
     index_lines = ["# Environment catalog\n"]
     for cls, ids in sorted(by_class.items(), key=lambda kv: kv[0].__name__):
         name = cls.__name__
-        doc = (cls.__doc__ or "").strip()
+        title = env_name_format(name)
+        doc = trim_docstring(cls.__doc__)
         path = os.path.join(out_dir, f"{name}.md")
         with open(path, "w") as f:
-            f.write(f"# {name}\n\n{doc}\n\n## Registered configurations\n\n")
+            f.write(f"# {title}\n\n{doc}\n\n## Registered configurations\n\n")
             for env_id in sorted(ids):
                 f.write(f"- `{env_id}`\n")
         index_lines.append(

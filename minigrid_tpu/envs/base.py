@@ -363,6 +363,17 @@ def autoreset_step_fresh(env, keys, states, actions, buffer: "EnvState",
     staggered resets the finisher count is ~Poisson(B/max_steps); keep
     window >= 4x that mean). Returns ``(obs, state, reward, terminated,
     truncated, info, new_cursor)``.
+
+    ``info["reset_overflow"]`` counts the finishers this step whose reset
+    could NOT be an untouched fresh row: ranks clamped at ``window - 1``
+    (a synchronized finish wave larger than the routing window) plus rows
+    re-read because the cursor ran past ``n_buf - window`` (buffer
+    exhausted — episodes ending much faster than the sizing assumed, e.g.
+    a trained policy finishing in a fraction of ``max_steps``). Zero in
+    correct operation; a nonzero count means those resets shared/reused
+    layouts and the exact-distribution guarantee degraded — resize the
+    buffer/window or stagger initial states. The PPO driver surfaces the
+    rollout-summed count as the ``reset_overflow`` train metric.
     """
     from minigrid_tpu.core.obs import gen_obs
 
@@ -391,7 +402,13 @@ def autoreset_step_fresh(env, keys, states, actions, buffer: "EnvState",
     rng_r = keys ^ jnp.asarray([0x5DEECE66, 0xB5297A4D], keys.dtype)
     st = st.replace(rng=jnp.where(done[:, None], rng_r, st.rng))
     obs = jax.vmap(lambda s: gen_obs(env.params, s))(st)
-    return obs, st, reward, term, trunc, {}, cursor + done.sum()
+    # overflow accounting (see docstring): window-clamped ranks + rows the
+    # start clamp re-read because the buffer ran out
+    overrun_rows = jnp.maximum(cursor - (n_buf - window), 0)
+    overflow = (done & ((rank >= window)
+                        | (slot < overrun_rows))).sum()
+    info = {"reset_overflow": overflow}
+    return obs, st, reward, term, trunc, info, cursor + done.sum()
 
 
 def require_bare_env(env, what: str):

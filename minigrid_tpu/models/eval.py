@@ -19,8 +19,12 @@ import jax.numpy as jnp
 
 # jitted episode runners, keyed on everything that shapes the trace — a
 # fresh closure per call would defeat jax.jit's cache and pay a full
-# T-step-scan compile on every evaluation
+# T-step-scan compile on every evaluation. Bounded FIFO: each cached
+# closure pins its env/model and compiled executable alive, so sweeps
+# over many distinct envs/configs would otherwise leak both host memory
+# and device compile cache without eviction.
 _RUN_CACHE: dict = {}
+_RUN_CACHE_MAX = 32
 
 
 def evaluate_success(env, model, params, n_episodes: int = 1024,
@@ -89,6 +93,8 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
             jax.random.split(k_run, T))
         return success.mean(), done.mean()
 
+    while len(_RUN_CACHE) >= _RUN_CACHE_MAX:  # FIFO eviction
+        _RUN_CACHE.pop(next(iter(_RUN_CACHE)))
     _RUN_CACHE[cache_key] = run
     success_rate, done_rate = run(
         params, jax.random.split(k_reset, n_episodes), k_run)

@@ -243,7 +243,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                         and not isinstance(env, _W))
 
         def body(carry, xs_t):
-            env_state, obs, counts, cursor, h = carry
+            env_state, obs, counts, cursor, h, oflow = carry
             keys, gumbel = xs_t[0], xs_t[1]
             # parameter-free encoding computed ONCE: feeds the behaviour
             # forward AND the trajectory buffer, so the update phase never
@@ -280,10 +280,13 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                     counts = jnp.where((term | trunc)[:, None],
                                        xs_t[3][None, :], counts)
             elif resets == "fresh":
-                obs2, env_state2, reward, term, trunc, _, cursor = \
+                obs2, env_state2, reward, term, trunc, info, cursor = \
                     env.step_autoreset_fresh(keys, env_state, action,
                                              buffer, cursor,
                                              window=fresh_window)
+                # degraded-reset detector (envs/base.py autoreset_step_fresh
+                # docstring): summed over the rollout into train metrics
+                oflow = oflow + info["reset_overflow"]
             else:
                 obs2, env_state2, reward, term, trunc, _ = step_env(
                     keys, env_state, action)
@@ -294,7 +297,7 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
                 h = h * (1.0 - done[:, None].astype(h.dtype))
             t = Transition(enc, action, log_prob, value, reward, done,
                            h_in if recurrent else None)
-            return (env_state2, obs2, counts, cursor, h), t
+            return (env_state2, obs2, counts, cursor, h, oflow), t
 
         counts0 = _counts(obs["mission"]) if carry_counts else jnp.zeros(())
         key, k_act, k_step = jax.random.split(key, 3)
@@ -314,12 +317,13 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             buffer = env.presample_fresh(k_buf, fresh_buffer)
         else:
             buffer = None
-        (env_state, obs, counts0, _, h0), traj = jax.lax.scan(
+        (env_state, obs, counts0, _, h0, oflow), traj = jax.lax.scan(
             body,
-            (env_state, obs, counts0, jnp.zeros((), jnp.int32), h0), xs,
+            (env_state, obs, counts0, jnp.zeros((), jnp.int32), h0,
+             jnp.zeros((), jnp.int32)), xs,
             length=cfg.rollout_len
         )
-        return env_state, obs, key, traj, h0
+        return env_state, obs, key, traj, h0, oflow
 
     def gae(traj: Transition, last_value):
         def body(carry, t):
@@ -366,8 +370,8 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         }
 
     def train_step_core(params, opt_state, env_state, obs, key, pool, h):
-        env_state, obs, key, traj, h = rollout(params, env_state, obs, key,
-                                               pool, h)
+        env_state, obs, key, traj, h, oflow = rollout(
+            params, env_state, obs, key, pool, h)
         if recurrent:
             (_, last_value), _ = model.apply(params, obs, h)
         else:
@@ -478,6 +482,12 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         )
         metrics = jax.tree.map(lambda x: x.mean(), metrics)
         metrics["mean_reward"] = traj.reward.mean()
+        if resets == "fresh":
+            # resets that could not be untouched fresh rows this rollout
+            # (window clamp or buffer exhaustion); nonzero means the
+            # exact-distribution guarantee degraded — see
+            # envs/base.py autoreset_step_fresh
+            metrics["reset_overflow"] = oflow
         return params, opt_state, env_state, obs, key, metrics, h
 
     if recurrent:

@@ -77,6 +77,12 @@ def train(env_id: str, cfg: TrainConfig = TrainConfig(),
 
     resets = cfg.resets or ("pooled" if cfg.pool_size > 0 else "regen")
     pooled = resets == "pooled"
+    if pooled and cfg.pool_size <= 0:
+        raise ValueError(
+            f"resets='pooled' needs pool_size > 0 (got pool_size="
+            f"{cfg.pool_size}); a size-0 LayoutPool would fail at trace "
+            "time with an opaque randint error — either raise pool_size "
+            "or pick resets='fresh'/'regen'")
     pool = (make_layout_pool(env, k_pool, cfg.pool_size) if pooled else None)
     K = max(1, cfg.steps_per_call)
     kw = dict(resets=resets, fresh_buffer=cfg.fresh_buffer)

@@ -49,9 +49,18 @@ def restore_pytree(path: str, like: Any) -> Any:
     if "treedef" in npz:
         saved = bytes(npz["treedef"]).decode()
         if saved != repr(treedef):
-            raise ValueError(
-                f"checkpoint pytree structure mismatch:\n saved:    "
-                f"{saved}\n restoring into: {treedef!r}")
+            # repr(PyTreeDef) is not stable across jax versions, so a
+            # mismatch alone must not reject a valid checkpoint — the
+            # leaf-count and per-leaf shape checks below catch real drift;
+            # this warning flags the remaining ambiguity (same leaf count
+            # AND shapes but reordered keys)
+            import warnings
+
+            warnings.warn(
+                "checkpoint pytree structure repr differs from the "
+                "restore target (possibly only a jax version change); "
+                "relying on leaf count/shape validation instead:\n saved:"
+                f"    {saved}\n restoring into: {treedef!r}")
     n_saved = len([k for k in npz.files if k.startswith("leaf_")])
     if n_saved != len(leaves):
         raise ValueError(f"checkpoint has {n_saved} leaves; 'like' has "

@@ -324,13 +324,14 @@ def test_fresh_autoreset_routing():
         jnp.arange(B) % 2 == 0, env.params.max_steps - 1, st.step_count))
     buf = presample_fresh_reset_states(env, jax.random.PRNGKey(9), 128)
     sk = jax.random.split(jax.random.PRNGKey(1), B)
-    _, st2, _, term, trunc, _, cur = jax.jit(
+    _, st2, _, term, trunc, info, cur = jax.jit(
         lambda k, s, a, b: autoreset_step_fresh(
             env, k, s, a, b, jnp.zeros((), jnp.int32)))(
         sk, st, jnp.zeros((B,), jnp.int32), buf)
     done = np.asarray(term | trunc)
     assert done.sum() == B // 2
     assert int(cur) == done.sum()
+    assert int(info["reset_overflow"]) == 0  # 32 finishers fit the window
     rank = np.cumsum(done) - done
     sigs = set()
     for b in range(B):
@@ -347,6 +348,66 @@ def test_fresh_autoreset_routing():
     # independent 8x8 draws collide with negligible probability
     assert len(sigs) >= done.sum() - 2, (
         f"same-step finishers shared layouts: {len(sigs)}/{done.sum()}")
+
+
+def test_fresh_autoreset_overflow_signal():
+    """Degraded fresh resets are VISIBLE, never silent
+    (envs/base.py autoreset_step_fresh info["reset_overflow"]):
+
+    1. a synchronized truncation wave (a user who skips reset_staggered)
+       larger than the routing window reports every clamped rank;
+    2. a cursor past ``n_buf - window`` (buffer exhausted, e.g. a trained
+       policy finishing far faster than the sizing assumed) reports the
+       re-read rows."""
+    import jax.numpy as jnp
+
+    import minigrid_tpu
+    from minigrid_tpu.envs.base import (autoreset_step_fresh,
+                                        presample_fresh_reset_states)
+
+    env = minigrid_tpu.make("MiniGrid-DoorKey-5x5-v0").packed()
+    B, W = 64, 16
+    _, st = jax.vmap(env.reset)(jax.random.split(jax.random.PRNGKey(0), B))
+    # synchronized wave: every env truncates on this step
+    st = st.replace(step_count=jnp.full((B,), env.params.max_steps - 1))
+    buf = presample_fresh_reset_states(env, jax.random.PRNGKey(9), 128)
+    sk = jax.random.split(jax.random.PRNGKey(1), B)
+    acts = jnp.zeros((B,), jnp.int32)
+    step = jax.jit(lambda k, s, a, b, c: autoreset_step_fresh(
+        env, k, s, a, b, c, window=W))
+
+    _, st2, _, te, tr, info, cur = step(sk, st, acts, buf,
+                                        jnp.zeros((), jnp.int32))
+    assert bool((te | tr).all())
+    # ranks W..B-1 clamp onto the last window row
+    assert int(info["reset_overflow"]) == B - W
+    assert int(cur) == B
+
+    # buffer exhaustion: cursor already at the end — the start clamp
+    # re-reads previously consumed rows and reports every one of them
+    _, _, _, _, _, info2, _ = step(sk, st, acts, buf,
+                                   jnp.asarray(128, jnp.int32))
+    assert int(info2["reset_overflow"]) == B
+
+    # train metrics surface the rollout-summed count (models/ppo.py)
+    from minigrid_tpu.core.obs import gen_obs
+    from minigrid_tpu.models.actor_critic import ActorCritic, init_params
+    from minigrid_tpu.models.ppo import (PPOConfig, make_optimizer,
+                                         make_train_step)
+
+    cfg = PPOConfig(num_envs=16, rollout_len=8, num_epochs=1,
+                    num_minibatches=2)
+    model = ActorCritic(hidden=32)
+    opt = make_optimizer(cfg)
+    params = init_params(jax.random.PRNGKey(0), model=model, packed=True)
+    train = jax.jit(make_train_step(env, model, cfg, opt, resets="fresh"))
+    _, stb = jax.vmap(env.reset)(
+        jax.random.split(jax.random.PRNGKey(3), cfg.num_envs))
+    obsb = jax.vmap(lambda s: gen_obs(env.params, s))(stb)
+    out = train(params, opt.init(params), stb, obsb,
+                jax.random.PRNGKey(4), None)
+    assert "reset_overflow" in out[5]
+    assert int(out[5]["reset_overflow"]) >= 0
 
 
 @pytest.mark.nightly

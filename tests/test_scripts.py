@@ -72,3 +72,29 @@ def test_manual_control_full_episode():
         mc.key_handler(E(key))
     # termination triggered a reset back to step 0
     assert env.step_count == 0
+
+
+def test_site_utils(tmp_path):
+    """The docs-site glue (docs/site_utils.py): 404 link rewriting matches
+    the reference's transformation (docs/_scripts/move_404.py), docstring
+    trim and env-name prettification behave like docs/_scripts/utils.py."""
+    import subprocess
+    import sys
+
+    from docs.site_utils import env_name_format, trim_docstring
+
+    page = tmp_path / "404.html"
+    page.write_text('<a href="../foo.css">x</a><img src="../img/a.png">'
+                    '<a href="/abs">keep</a>')
+    subprocess.run([sys.executable, "docs/site_utils.py", str(page)],
+                   check=True, cwd="/root/repo")
+    out = page.read_text()
+    assert 'href="/foo.css"' in out and 'src="/img/a.png"' in out
+    assert 'href="/abs"' in out
+
+    assert env_name_format("KeyCorridorEnv") == "Key Corridor"
+    assert env_name_format("GoToObjectEnv") == "Go To Object"
+    assert env_name_format("WFCEnv") == "WFC"
+    assert trim_docstring("  First line.\n\n      indented\n      body\n") \
+        == "First line.\n\nindented\nbody"
+    assert trim_docstring(None) == ""
