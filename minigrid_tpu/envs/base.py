@@ -375,11 +375,20 @@ def autoreset_step_fresh(env, keys, states, actions, buffer: "EnvState",
     buffer/window or stagger initial states. The PPO driver surfaces the
     rollout-summed count as the ``reset_overflow`` train metric.
     """
+    st, reward, term, trunc = jax.vmap(env.step_state)(keys, states, actions)
+    obs, st, info, cursor = _fresh_select(env, keys, st, term | trunc,
+                                          buffer, cursor, window)
+    return obs, st, reward, term, trunc, info, cursor
+
+
+def _fresh_select(env, keys, st, done, buffer, cursor, window):
+    """The routing/select/obs tail of :func:`autoreset_step_fresh`, split
+    out so stateful wrapper fast paths (wrappers/ ActionBonus pattern) can
+    run their per-env bookkeeping between the batched step and the reset
+    select. Returns ``(obs, state, info, new_cursor)``."""
     from minigrid_tpu.core.obs import gen_obs
 
     n_buf = jax.tree.leaves(buffer)[0].shape[0]
-    st, reward, term, trunc = jax.vmap(env.step_state)(keys, states, actions)
-    done = term | trunc
     B = done.shape[0]
     rank = jnp.cumsum(done) - done  # exclusive rank among finishers
     slot = jnp.minimum(rank, window - 1)
@@ -408,7 +417,7 @@ def autoreset_step_fresh(env, keys, states, actions, buffer: "EnvState",
     overflow = (done & ((rank >= window)
                         | (slot < overrun_rows))).sum()
     info = {"reset_overflow": overflow}
-    return obs, st, reward, term, trunc, info, cursor + done.sum()
+    return obs, st, info, cursor + done.sum()
 
 
 def require_bare_env(env, what: str):

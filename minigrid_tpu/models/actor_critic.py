@@ -95,12 +95,15 @@ def encode_obs(obs: dict, dtype=jnp.uint8) -> dict:
             "direction": obs["direction"]}
 
 
-def _trunk_input(mod: nn.Module, obs: dict) -> jax.Array:
+def _trunk_input(mod: nn.Module, obs: dict, img_dense=None,
+                 table=None) -> jax.Array:
     """Shared encoder front: view features through the ``img_in`` dense,
     mission conditioning, direction one-hot, concatenated. Called from
     inside a module's ``@nn.compact`` ``__call__`` (parameter names
     ``img_in``/``mission_embed`` land in the calling module's scope) so
-    the MLP and recurrent heads can never drift apart.
+    the MLP and recurrent heads can never drift apart; setup-style
+    modules (the recurrent policy) pass their pre-built ``img_dense``
+    submodule and ``table`` param instead.
 
     Mission conditioning is a masked mean-pool of token embeddings,
     computed as a count contraction (see module docstring); column 0 is
@@ -118,8 +121,9 @@ def _trunk_input(mod: nn.Module, obs: dict) -> jax.Array:
         img = encode_packed(obs["packed"], mod.dtype)
     else:
         img = encode_image(obs["image"], mod.dtype)
-    x = nn.Dense(mod.hidden, dtype=mod.dtype, name="img_in")(img)
-    x = nn.relu(x)
+    if img_dense is None:
+        img_dense = nn.Dense(mod.hidden, dtype=mod.dtype, name="img_in")
+    x = nn.relu(img_dense(img))
 
     if "mission_counts" in obs:
         counts = obs["mission_counts"]
@@ -128,9 +132,10 @@ def _trunk_input(mod: nn.Module, obs: dict) -> jax.Array:
         counts = (tokens[..., None] == jnp.arange(VOCAB_SIZE)).sum(-2)
     counts = counts.astype(mod.dtype) * (jnp.arange(VOCAB_SIZE) != 0)
     n = counts.sum(-1, keepdims=True)
-    table = mod.param(
-        "mission_embed", nn.initializers.normal(stddev=1.0),
-        (VOCAB_SIZE, mod.mission_dim))
+    if table is None:
+        table = mod.param(
+            "mission_embed", nn.initializers.normal(stddev=1.0),
+            (VOCAB_SIZE, mod.mission_dim))
     pooled = (counts @ table.astype(mod.dtype)) / jnp.maximum(n, 1)
 
     d = jax.nn.one_hot(obs["direction"], 4, dtype=mod.dtype)
@@ -189,6 +194,15 @@ class ActorCriticRNN(nn.Module):
     the slab's first step (standard truncated BPTT over contiguous
     timestep slabs — exactly the shape the default "rotate" minibatch
     partition provides).
+
+    The cell is factored for the TPU BPTT hot loop: every h-independent
+    projection — view features, mission pooling, trunk, and the GRU's
+    input-side 3H matmul — lives in :meth:`encode_inputs`, batched over
+    whole (T, B) slabs in the update phase; the sequential scan carries
+    only :meth:`gru_step` (one (B, H) x (H, 3H) matmul + gates), and the
+    policy/value heads apply to the stacked hidden outputs afterwards.
+    A time step in the BPTT scan therefore serializes ~1/4 of the
+    forward's FLOPs, and the rest runs as full-slab MXU matmuls.
     """
 
     hidden: int = 256
@@ -197,17 +211,49 @@ class ActorCriticRNN(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     is_recurrent: bool = True
 
-    @nn.compact
+    def setup(self):
+        H = self.hidden
+        self.img_in = nn.Dense(H, dtype=self.dtype)
+        self.mission_embed = self.param(
+            "mission_table", nn.initializers.normal(stddev=1.0),
+            (VOCAB_SIZE, self.mission_dim))
+        self.trunk1 = nn.Dense(H, dtype=self.dtype)
+        # GRU, input/hidden split (canonical form): the x-side biases live
+        # in gru_x; gru_h is bias-free except the candidate-gate bias bhn,
+        # which sits inside the reset-gated term r * (Whn h + bhn)
+        self.gru_x = nn.Dense(3 * H, dtype=self.dtype)
+        self.gru_h = nn.Dense(3 * H, dtype=self.dtype, use_bias=False)
+        self.bhn = self.param("bhn", nn.initializers.zeros, (H,))
+        self.policy = nn.Dense(self.num_actions, dtype=jnp.float32)
+        self.value = nn.Dense(1, dtype=jnp.float32)
+
+    def encode_inputs(self, obs: dict) -> jax.Array:
+        """All h-independent projections: raw/encoded observations ->
+        (..., 3H) GRU input pre-activations. Shape-polymorphic over any
+        leading axes, so the update phase runs it once per (mbt, B) slab."""
+        x = _trunk_input(self, obs, img_dense=self.img_in,
+                         table=self.mission_embed)
+        x = nn.relu(self.trunk1(x))
+        return self.gru_x(x)
+
+    def gru_step(self, xz: jax.Array, h: jax.Array) -> jax.Array:
+        """One recurrent step: (…, 3H) input pre-activations + (…, H)
+        hidden -> new hidden. The only computation the BPTT scan carries."""
+        H = self.hidden
+        hz = self.gru_h(h)
+        r = nn.sigmoid(xz[..., :H] + hz[..., :H])
+        z = nn.sigmoid(xz[..., H:2 * H] + hz[..., H:2 * H])
+        n = jnp.tanh(xz[..., 2 * H:]
+                     + r * (hz[..., 2 * H:] + self.bhn.astype(hz.dtype)))
+        return (1.0 - z) * n + z * h
+
+    def heads(self, h: jax.Array):
+        """Policy logits + value from (stacked) hidden outputs."""
+        return self.policy(h), self.value(h).squeeze(-1)
+
     def __call__(self, obs: dict, h: jax.Array):
-        x = _trunk_input(self, obs)
-        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name="trunk1")(x))
-
-        h, x = nn.GRUCell(self.hidden, dtype=self.dtype, name="gru")(h, x)
-
-        logits = nn.Dense(self.num_actions, dtype=jnp.float32,
-                          name="policy")(x)
-        value = nn.Dense(1, dtype=jnp.float32, name="value")(x)
-        return (logits, value.squeeze(-1)), h
+        h = self.gru_step(self.encode_inputs(obs), h)
+        return self.heads(h), h
 
     def initial_state(self, batch: int) -> jax.Array:
         return jnp.zeros((batch, self.hidden), self.dtype)

@@ -192,10 +192,12 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
         from minigrid_tpu.wrappers import Wrapper
 
         if isinstance(env, Wrapper):
-            # stacks of stateless observation wrappers ride the batched
-            # fast paths (the chain walk raises for stateful wrappers);
+            # stateless observation stacks, memoryless transition
+            # wrappers (NoDeath, StochasticActionWrapper) and the
+            # ActionBonus stateful pattern ride the batched fast paths
+            # (the chain walk raises for unsupported stateful wrappers);
             # the model must accept the wrapped observation format
-            env._stateless_chain()
+            env._fast_plan()
     else:
         step_env = jax.vmap(env.step_autoreset)
     fresh_window = 32
@@ -343,15 +345,22 @@ def make_train_step(env, model: ActorCritic, cfg: PPOConfig, optimizer,
             # replay the cell over the contiguous (mbt, B) slab from its
             # first step's STORED hidden (truncated BPTT; the stored h was
             # computed under the rollout's params — the standard
-            # approximation), re-zeroing after in-slab episode ends
-            def cell(h, xs):
-                obs_t, done_t = xs
-                (logits_t, value_t), h = model.apply(params, obs_t, h)
-                h = h * (1.0 - done_t[:, None].astype(h.dtype))
-                return h, (logits_t, value_t)
+            # approximation), re-zeroing after in-slab episode ends.
+            # Factored for the TPU (actor_critic.py ActorCriticRNN): all
+            # h-independent projections batch over the whole slab before
+            # the scan, the scan carries only the recurrent matmul +
+            # gates, and the heads apply to the stacked hidden outputs —
+            # the sequential chain holds ~1/4 of the forward FLOPs
+            xz = model.apply(params, batch.obs, method="encode_inputs")
 
-            _, (logits, value) = jax.lax.scan(
-                cell, h0, (batch.obs, batch.done))
+            def cell(h, xs):
+                xz_t, done_t = xs
+                h_new = model.apply(params, xz_t, h, method="gru_step")
+                h = h_new * (1.0 - done_t[:, None].astype(h_new.dtype))
+                return h, h_new
+
+            _, hs = jax.lax.scan(cell, h0, (xz, batch.done))
+            logits, value = model.apply(params, hs, method="heads")
         else:
             logits, value = model.apply(params, batch.obs)
         log_probs = jax.nn.log_softmax(logits)

@@ -43,7 +43,7 @@ def make_rollout(env, policy_fn: Callable | None = None, length: int = 128,
         from minigrid_tpu.wrappers import Wrapper
 
         if isinstance(env, Wrapper):
-            env._stateless_chain()  # raises for stateful wrapper stacks
+            env._fast_plan()  # raises for unsupported stateful stacks
     else:
         step = jax.vmap(env.step_autoreset)
     fresh_window = 32

@@ -59,68 +59,108 @@ class Wrapper:
     def step_autoreset(self, key, state, action):
         return autoreset_step(self, key, state, action)
 
+    def reset_staggered(self, key):
+        """Wrapper-aware staggered reset (see MiniGridEnv.reset_staggered):
+        runs THIS stack's reset (so wrapper state is initialized), then
+        offsets the inner step_count. Without this override the attribute
+        would delegate to the bare env and return an un-wrapped state."""
+        obs, state = self.reset(key)
+        off = jax.random.randint(
+            jax.random.fold_in(key, 0x57A66E7), (), 0,
+            self.params.max_steps)
+        e = _inner_env_state(state)
+        state = _replace_inner(state, e.replace(step_count=off))
+        return obs, state
+
     def vector(self, n: int):
         return jax.vmap(self.reset), jax.vmap(self.step_autoreset)
 
     # -- batched fast paths ----------------------------------------------
     # The pooled / presampled / fresh auto-reset paths run batched on bare
-    # EnvStates. A stack made ONLY of stateless ObservationWrappers keeps
-    # bare states (no WrappedState), so the fast path is: run the base
-    # env's batched step, then apply the observation transforms outward —
-    # full pooled throughput with wrapped observations. Stateful wrappers
-    # (bonuses, Reseed, DirectionObs, ...) thread per-env WrappedState
-    # through resets and stay on the exact step_autoreset path; the chain
-    # walk below fails loudly for them instead of silently delegating to
-    # the inner env and emitting un-wrapped observations.
-    def _stateless_chain(self):
-        """(base_env, [observation wrappers, innermost first]).
+    # EnvStates. Two wrapper classes keep bare states (no WrappedState)
+    # and therefore ride them at full throughput:
+    #
+    #  - stateless ObservationWrappers: the base env steps batched, then
+    #    the observation transforms apply outward;
+    #  - memoryless TransitionWrappers (NoDeath, StochasticActionWrapper):
+    #    pure per-env action pre-maps and outcome post-maps, composed INTO
+    #    the batched ``step_state`` the reset-select paths vmap — so e.g.
+    #    the standard NoDeath-on-lava training setup keeps pooled speed.
+    #
+    # Genuinely stateful wrappers (bonuses, Reseed, DirectionObs) thread
+    # per-env WrappedState through resets: ActionBonus implements the
+    # batched pattern below (its visit table persists across resets, so
+    # only the reward/count update needs batching); the rest stay on the
+    # exact step_autoreset path, and the chain walk fails loudly for them
+    # instead of silently delegating past their transforms.
+    def _fast_plan(self):
+        """(base_env, [obs wrappers, innermost first],
+        [transition wrappers, outermost first]).
 
-        Raises NotImplementedError if any wrapper in the stack is not a
-        stateless :class:`ObservationWrapper`."""
-        chain, env = [], self
+        Raises NotImplementedError if the stack contains a wrapper that is
+        neither a stateless :class:`ObservationWrapper` nor a memoryless
+        :class:`TransitionWrapper` (unless that wrapper overrides the fast
+        paths itself, like :class:`ActionBonus`)."""
+        obs_chain, trans_chain, env = [], [], self
         while isinstance(env, Wrapper):
-            if not isinstance(env, ObservationWrapper):
+            if isinstance(env, ObservationWrapper):
+                obs_chain.append(env)
+            elif isinstance(env, TransitionWrapper):
+                trans_chain.append(env)
+            else:
                 raise NotImplementedError(
-                    f"{type(env).__name__} carries per-env wrapper state or "
-                    "transforms actions/rewards; the pooled/fresh fast "
-                    "paths support stacks of stateless ObservationWrappers "
-                    "only — use step_autoreset (exact resets) instead")
-            chain.append(env)
+                    f"{type(env).__name__} carries per-env wrapper state; "
+                    "the pooled/fresh fast paths compose stacks of "
+                    "stateless ObservationWrappers and memoryless "
+                    "TransitionWrappers only — use step_autoreset (exact "
+                    "resets), or give the wrapper its own batched methods "
+                    "(see ActionBonus)")
             env = env.env
-        return env, chain[::-1]
+        return env, obs_chain[::-1], trans_chain
+
+    def _fast_base(self):
+        """(env for the batched reset-select paths, obs chain). When the
+        stack holds transition wrappers, the returned env is a copy of the
+        base whose ``step_state`` composes their action/outcome transforms
+        around the core transition — the vmapped form the pooled/fresh
+        free functions consume."""
+        base, obs_chain, trans = self._fast_plan()
+        return _composed_step_env(base, trans), obs_chain
 
     def _apply_obs_chain(self, obs, states):
-        _, chain = self._stateless_chain()
+        _, chain, _ = self._fast_plan()
         for w in chain:
             obs = jax.vmap(w.observation)(obs, states)
         return obs
 
     def step_autoreset_pooled(self, keys, states, actions, pool,
                               independent: bool = False):
-        base, _ = self._stateless_chain()
+        base, _ = self._fast_base()
         obs, st, r, te, tr, i = base.step_autoreset_pooled(
             keys, states, actions, pool, independent)
         return self._apply_obs_chain(obs, st), st, r, te, tr, i
 
     def step_autoreset_presampled(self, keys, states, actions, reset_state):
-        base, _ = self._stateless_chain()
+        base, _ = self._fast_base()
         obs, st, r, te, tr, i = base.step_autoreset_presampled(
             keys, states, actions, reset_state)
         return self._apply_obs_chain(obs, st), st, r, te, tr, i
 
     def step_autoreset_fresh(self, keys, states, actions, buffer, cursor,
                              window: int = 32):
-        base, _ = self._stateless_chain()
+        base, _ = self._fast_base()
         obs, st, r, te, tr, i, cur = base.step_autoreset_fresh(
             keys, states, actions, buffer, cursor, window)
         return self._apply_obs_chain(obs, st), st, r, te, tr, i, cur
 
     def make_pool(self, key, pool_size: int = 1024):
-        base, _ = self._stateless_chain()  # validates the stack
+        # plain base, not the composed copy: keeps the memoized pool
+        # builder attached to the long-lived env instance
+        base, _, _ = self._fast_plan()  # validates the stack
         return base.make_pool(key, pool_size)
 
     def presample_fresh(self, key, n: int):
-        base, _ = self._stateless_chain()
+        base, _, _ = self._fast_plan()
         return base.presample_fresh(key, n)
 
     def packed(self):
@@ -155,6 +195,88 @@ class ObservationWrapper(Wrapper):
     def step(self, key, state, action):
         obs, state, r, te, tr, i = self.env.step(key, state, action)
         return self.observation(obs, _inner_env_state(state)), state, r, te, tr, i
+
+
+# distinct fold_in salts for the per-wrapper transform key streams so a
+# transform's randomness never aliases the env step key it derives from
+_TA_SALT = 0x7A11AC  # action pre-map stream
+_TO_SALT = 0x0A71C0  # outcome post-map stream
+
+
+class TransitionWrapper(Wrapper):
+    """Memoryless per-env action/outcome transform over bare EnvStates.
+
+    The shape behind the reference's action- and reward-transforming
+    wrappers that carry no per-env memory (``StochasticActionWrapper``,
+    ``NoDeath`` — minigrid/wrappers.py:785-882): a pure pre-map of the
+    action plus a pure post-map of the transition outcome. Expressing them
+    this way (instead of overriding ``step``) lets the batched
+    pooled/presampled/fresh auto-reset paths compose the transforms
+    straight into the vmapped ``step_state`` they already run — full
+    fast-path throughput, no per-env Python dispatch.
+
+    Override either hook; both default to identity:
+
+    - ``transform_action(key, env_state, action) -> action`` runs before
+      the core transition (on the pre-step state);
+    - ``transform_outcome(key, prev_env_state, env_state, action, reward,
+      term, trunc) -> (env_state, reward, term, trunc)`` runs after it,
+      seeing the pre-step state, the post-step state, and the action this
+      wrapper forwarded inward.
+
+    In a stack, action pre-maps apply outermost-first and outcome
+    post-maps innermost-first — exactly the order nested ``step`` calls
+    produce.
+    """
+
+    def transform_action(self, key, env_state, action):
+        return action
+
+    def transform_outcome(self, key, prev_env_state, env_state, action,
+                          reward, term, trunc):
+        return env_state, reward, term, trunc
+
+    def step(self, key, state, action):
+        e_prev = _inner_env_state(state)
+        a = self.transform_action(jax.random.fold_in(key, _TA_SALT),
+                                  e_prev, jnp.asarray(action, jnp.int32))
+        obs, new_state, r, te, tr, i = self.env.step(key, state, a)
+        e_new = _inner_env_state(new_state)
+        e2, r, te, tr = self.transform_outcome(
+            jax.random.fold_in(key, _TO_SALT), e_prev, e_new, a, r, te, tr)
+        if e2 is not e_new:
+            new_state = _replace_inner(new_state, e2)
+        return obs, new_state, r, te, tr, i
+
+
+def _composed_step_env(base, trans_chain):
+    """Copy of ``base`` whose ``step_state`` composes the transition
+    wrappers' action/outcome transforms around the core transition (see
+    :class:`TransitionWrapper`). The batched reset-select free functions
+    (envs/base.py) vmap ``env.step_state``, so handing them this composed
+    env runs the transforms inside the same fused step — the fast path
+    for NoDeath / StochasticActionWrapper stacks."""
+    if not trans_chain:
+        return base
+
+    def step_state(key, state, action):
+        a = jnp.asarray(action, jnp.int32)
+        fwd = []  # the action each wrapper forwarded inward
+        for i, w in enumerate(trans_chain):
+            a = w.transform_action(
+                jax.random.fold_in(key, _TA_SALT + i), state, a)
+            fwd.append(a)
+        st, r, te, tr = type(base).step_state(base, key, state, a)
+        for i in reversed(range(len(trans_chain))):
+            st, r, te, tr = trans_chain[i].transform_outcome(
+                jax.random.fold_in(key, _TO_SALT + i), state, st, fwd[i],
+                r, te, tr)
+        return st, r, te, tr
+
+    env = object.__new__(type(base))
+    env.__dict__.update(base.__dict__)
+    env.step_state = step_state  # instance attribute shadows the method
+    return env
 
 
 class ReseedWrapper(Wrapper):
@@ -219,6 +341,79 @@ class ActionBonus(Wrapper):
         st = jax.tree.map(lambda a, b: jnp.where(done, b, a), st, st_r)
         obs = jax.tree.map(lambda a, b: jnp.where(done, b, a), obs, obs_r)
         return obs, st, r, te, tr, i
+
+    # -- batched fast paths: the stateful-wrapper pattern -----------------
+    # ActionBonus (outermost) rides the pooled/presampled/fresh paths by
+    # threading its WrappedState through them itself: the batch steps via
+    # the inner stack's composed step_state, the (B, W, H, 4, 7) visit
+    # table updates with a dense one-hot accumulate (per-row scatters
+    # serialize ~5 ns/row on TPU; the dense add is one fused VPU pass over
+    # B x W*H*28 lanes), and the reset select runs on the inner states
+    # only — counts persist across resets exactly like the reference's
+    # dict (wrappers.py:104).
+    def _fast_plan(self):
+        if not isinstance(self.env, Wrapper):
+            return self.env, [], []
+        return self.env._fast_plan()
+
+    def _batched_step(self, keys, states, actions):
+        if not isinstance(states, WrappedState):
+            raise TypeError(
+                "ActionBonus batched fast paths take the WrappedState "
+                "batch from jax.vmap(wrapper.reset)")
+        base, _, trans = self._fast_plan()
+        step_env = _composed_step_env(base, trans)
+        st, r, te, tr = jax.vmap(step_env.step_state)(
+            keys, states.inner, actions)
+        p = self.params
+        a = jnp.asarray(actions, jnp.int32)
+        oh = ((st.agent_pos[:, 0, None, None, None, None]
+               == jnp.arange(p.width)[:, None, None, None])
+              & (st.agent_pos[:, 1, None, None, None, None]
+                 == jnp.arange(p.height)[:, None, None])
+              & (st.agent_dir[:, None, None, None, None]
+                 == jnp.arange(4)[:, None])
+              & (a[:, None, None, None, None] == jnp.arange(7)))
+        counts = states.wrapper + oh.astype(jnp.int32)
+        visits = jnp.where(oh, counts, 0).sum(axis=(1, 2, 3, 4))
+        bonus = 1.0 / jnp.sqrt(visits.astype(jnp.float32))
+        return base, st, r + bonus, te, tr, counts
+
+    def step_autoreset_presampled(self, keys, states, actions, reset_state):
+        from minigrid_tpu.envs.base import _apply_broadcast_reset
+
+        base, st, r, te, tr, counts = self._batched_step(keys, states,
+                                                         actions)
+        obs, st = _apply_broadcast_reset(base, keys, st, te | tr,
+                                         reset_state)
+        obs = self._apply_obs_chain(obs, st)
+        return obs, WrappedState(inner=st, wrapper=counts), r, te, tr, {}
+
+    def step_autoreset_pooled(self, keys, states, actions, pool,
+                              independent: bool = False):
+        from minigrid_tpu.envs.base import _deserialize_row
+
+        if independent:
+            raise NotImplementedError(
+                "ActionBonus fast path supports the broadcast-row pooled "
+                "mode only")
+        k_pool = jax.random.fold_in(keys[0], 0x9E3779B9)
+        row_i = jax.random.randint(k_pool, (), 0, pool.size)
+        row = jax.lax.dynamic_slice_in_dim(pool.buf, row_i, 1, axis=0)[0]
+        return self.step_autoreset_presampled(
+            keys, states, actions, _deserialize_row(row, pool.spec))
+
+    def step_autoreset_fresh(self, keys, states, actions, buffer, cursor,
+                             window: int = 32):
+        from minigrid_tpu.envs.base import _fresh_select
+
+        base, st, r, te, tr, counts = self._batched_step(keys, states,
+                                                         actions)
+        obs, st, info, cursor = _fresh_select(base, keys, st, te | tr,
+                                              buffer, cursor, window)
+        obs = self._apply_obs_chain(obs, st)
+        return (obs, WrappedState(inner=st, wrapper=counts), r, te, tr,
+                info, cursor)
 
 
 class PositionBonus(Wrapper):
@@ -465,29 +660,31 @@ class SymbolicObsWrapper(ObservationWrapper):
         return {**obs, "image": img}
 
 
-class StochasticActionWrapper(Wrapper):
+class StochasticActionWrapper(TransitionWrapper):
     """Execute the intended action with probability ``prob``, else a random
     one (wrappers.py:785-806; the reference draws replacements from
-    integers(0, 6), i.e. excluding ``done``)."""
+    integers(0, 6), i.e. excluding ``done``). Memoryless action pre-map,
+    so it rides the batched pooled/presampled/fresh fast paths."""
 
     def __init__(self, env, prob=0.9, random_action=None):
         super().__init__(env)
         self.prob = prob
         self.random_action = random_action
 
-    def step(self, key, state, action):
-        k_choice, k_rand, k_step = jax.random.split(key, 3)
+    def transform_action(self, key, env_state, action):
+        k_choice, k_rand = jax.random.split(key)
         if self.random_action is None:
             replacement = jax.random.randint(k_rand, (), 0, 6)
         else:
             replacement = jnp.asarray(self.random_action)
         keep = jax.random.uniform(k_choice) < self.prob
-        action = jnp.where(keep, jnp.asarray(action), replacement)
-        return self.env.step(k_step, state, action)
+        return jnp.where(keep, jnp.asarray(action), replacement)
 
 
-class NoDeath(Wrapper):
-    """Replace deadly termination with a penalty (wrappers.py:809-882)."""
+class NoDeath(TransitionWrapper):
+    """Replace deadly termination with a penalty (wrappers.py:809-882).
+    Memoryless outcome post-map — the standard NoDeath-on-lava training
+    setup keeps full pooled/fresh fast-path throughput."""
 
     def __init__(self, env, no_death_types: tuple[str, ...],
                  death_cost: float = -1.0):
@@ -497,31 +694,25 @@ class NoDeath(Wrapper):
             [C.OBJECT_TO_IDX[t] for t in no_death_types], jnp.int32)
         self.death_cost = death_cost
 
-    def step(self, key, state, action):
-        e_prev = _inner_env_state(state)
+    def transform_outcome(self, key, prev, st, action, r, te, tr):
         # read the front cell through the core transition's own helper so
         # this check can never drift from what step_core actually sees
-        _, _, _, fwd_cell = front_cell(self.env.params, e_prev)
+        _, _, _, fwd_cell = front_cell(self.params, prev)
         ftype = fwd_cell[0].astype(jnp.int32)
         going_to_death = (
             (jnp.asarray(action) == Actions.forward)
             & (ftype != C.EMPTY)
             & (self.death_types == ftype).any()
         )
-
-        obs, new_state, r, te, tr, i = self.env.step(key, state, action)
-        e = _inner_env_state(new_state)
-        cur = e.grid[e.agent_pos[0], e.agent_pos[1], 0].astype(jnp.int32)
+        cur = st.grid[st.agent_pos[0], st.agent_pos[1], 0].astype(jnp.int32)
         in_death = (cur != C.EMPTY) & (self.death_types == cur).any()
 
         cancel = te & (going_to_death | in_death)
         r = jnp.where(cancel, r + self.death_cost, r)
         te = te & ~cancel
-        # keep the inner state steppable after a canceled termination
-        if isinstance(e, EnvState):
-            new_state = _replace_inner(new_state, e.replace(
-                terminated=e.terminated & ~cancel))
-        return obs, new_state, r, te, tr, i
+        # keep the state steppable after a canceled termination
+        st = st.replace(terminated=st.terminated & ~cancel)
+        return st, r, te, tr
 
 
 def _replace_inner(state, new_env_state):
@@ -531,7 +722,8 @@ def _replace_inner(state, new_env_state):
 
 
 __all__ = [
-    "Wrapper", "ObservationWrapper", "WrappedState", "ReseedWrapper",
+    "Wrapper", "ObservationWrapper", "TransitionWrapper", "WrappedState",
+    "ReseedWrapper",
     "ActionBonus", "PositionBonus", "ImgObsWrapper",
     "OneHotPartialObsWrapper", "RGBImgObsWrapper", "RGBImgPartialObsWrapper",
     "FullyObsWrapper", "DictObservationSpaceWrapper", "FlatObsWrapper",

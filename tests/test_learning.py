@@ -267,3 +267,129 @@ def test_behavior_cloning_solves_level():
     rate = evaluate_success(env, model, params, n_episodes=256,
                             key=jax.random.PRNGKey(5), max_steps=512)
     assert rate > 0.5, f"cloned policy success {rate}"
+
+
+def test_ppo_learns_nodeath_pooled():
+    """VERDICT r4 item 3: the standard NoDeath-on-lava training setup must
+    ride the pooled fast path AND learn. LavaGap with lava deaths
+    converted to penalties: the policy must learn to thread the gap (goal
+    reward rises) instead of being punished into a corner."""
+    import jax.numpy as jnp
+
+    from minigrid_tpu import wrappers as W
+    from minigrid_tpu.core.obs import gen_obs
+    from minigrid_tpu.envs.base import make_layout_pool
+
+    base = minigrid_tpu.make("MiniGrid-LavaGapS5-v0").packed()
+    env = W.NoDeath(base, no_death_types=("lava",), death_cost=-0.2)
+    cfg = PPOConfig(num_envs=128, rollout_len=64, num_epochs=2,
+                    num_minibatches=4, lr=1e-3)
+    model = ActorCritic(hidden=64)
+    opt = make_optimizer(cfg)
+    params = init_params(jax.random.PRNGKey(0), model=model, packed=True)
+    opt_state = opt.init(params)
+    obs, st = jax.jit(jax.vmap(base.reset_staggered))(
+        jax.random.split(jax.random.PRNGKey(1), cfg.num_envs))
+    pool = make_layout_pool(env, jax.random.PRNGKey(3), 256)
+    ts = jax.jit(make_train_step(env, model, cfg, opt, pooled=True),
+                 donate_argnums=(0, 1, 2, 3))
+    key = jax.random.PRNGKey(2)
+    rewards = []
+    for _ in range(30):
+        params, opt_state, st, obs, key, m = ts(
+            params, opt_state, st, obs, key, pool)
+        rewards.append(float(m["mean_reward"]))
+    first, last = sum(rewards[:5]) / 5, sum(rewards[-5:]) / 5
+    # positive mean reward requires reaching the goal THROUGH the gap —
+    # with lava penalties active, random walks score negative
+    assert last > 0.02, f"final reward {last:.4f} too low: {rewards}"
+    assert last > first + 0.02, (
+        f"no learning on the NoDeath pooled path: first5={first:.4f} "
+        f"last5={last:.4f}")
+
+
+def test_ppo_action_bonus_fast_path_smoke():
+    """The stateful ActionBonus pattern threads its WrappedState batch
+    through the pooled PPO train step: visit counts grow monotonically
+    across updates while training runs."""
+    import jax.numpy as jnp
+
+    from minigrid_tpu import wrappers as W
+    from minigrid_tpu.envs.base import make_layout_pool
+
+    base = minigrid_tpu.make("MiniGrid-Empty-5x5-v0").packed()
+    env = W.ActionBonus(base)
+    cfg = PPOConfig(num_envs=16, rollout_len=16, num_epochs=1,
+                    num_minibatches=2)
+    model = ActorCritic(hidden=32)
+    opt = make_optimizer(cfg)
+    params = init_params(jax.random.PRNGKey(0), model=model, packed=True)
+    opt_state = opt.init(params)
+    obs, wst = jax.jit(jax.vmap(env.reset_staggered))(
+        jax.random.split(jax.random.PRNGKey(1), cfg.num_envs))
+    pool = make_layout_pool(env, jax.random.PRNGKey(3), 16)
+    ts = jax.jit(make_train_step(env, model, cfg, opt, pooled=True))
+    key = jax.random.PRNGKey(2)
+    totals = []
+    for _ in range(3):
+        params, opt_state, wst, obs, key, m = ts(
+            params, opt_state, wst, obs, key, pool)
+        totals.append(int(wst.wrapper.sum()))
+    # one visit per env per rollout step, persisted across resets
+    expect = cfg.num_envs * cfg.rollout_len
+    assert totals == [expect, 2 * expect, 3 * expect]
+    # the exploration bonus flows into rewards (1/sqrt(n) > 0 per step)
+    assert float(m["mean_reward"]) > 0
+
+
+def test_rnn_factored_cell_consistency():
+    """The BPTT fast path (batched encode_inputs -> gru_step scan ->
+    heads on stacked hiddens) must produce exactly what stepwise
+    ``__call__`` produces — the factoring is a scheduling change, not a
+    model change."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from minigrid_tpu.models.actor_critic import (ActorCriticRNN,
+                                                  init_params_rnn)
+
+    model = ActorCriticRNN(hidden=32)
+    params = init_params_rnn(jax.random.PRNGKey(0), model=model,
+                             packed=True)
+    T, B, V = 5, 4, 7
+    k = jax.random.PRNGKey(1)
+    obs = {
+        "packed": jax.random.randint(k, (T, B, V, V), 0, 11),
+        "direction": jax.random.randint(k, (T, B), 0, 4),
+        "mission": jax.random.randint(k, (T, B, 64), 0, 5),
+    }
+    done = jax.random.bernoulli(k, 0.3, (T, B))
+    h0 = model.initial_state(B)
+
+    # stepwise reference
+    h = h0
+    seq_logits, seq_values = [], []
+    for t in range(T):
+        obs_t = jax.tree.map(lambda x: x[t], obs)
+        (lg, vl), h = model.apply(params, obs_t, h)
+        h = h * (1.0 - done[t][:, None].astype(h.dtype))
+        seq_logits.append(lg)
+        seq_values.append(vl)
+
+    # factored path (models/ppo.py loss_fn shape)
+    xz = model.apply(params, obs, method="encode_inputs")
+
+    def cell(h, xs):
+        xz_t, done_t = xs
+        h_new = model.apply(params, xz_t, h, method="gru_step")
+        return h_new * (1.0 - done_t[:, None].astype(h_new.dtype)), h_new
+
+    _, hs = jax.lax.scan(cell, h0, (xz, done))
+    logits, values = model.apply(params, hs, method="heads")
+
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(jnp.stack(seq_logits)),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(values),
+                               np.asarray(jnp.stack(seq_values)),
+                               rtol=1e-5, atol=1e-5)

@@ -255,3 +255,131 @@ def test_stateful_wrappers_still_blocked():
     with _pytest.raises(NotImplementedError):
         stacked.step_autoreset_pooled(None, None, None, None)
     assert stacked.unwrapped() is stacked.env.env
+
+
+def test_transition_wrappers_ride_fast_paths():
+    """NoDeath / StochasticActionWrapper (memoryless TransitionWrappers)
+    compose into the batched pooled/presampled/fresh fast paths: the
+    composed vmapped step_state must produce exactly the per-env wrapper
+    step outcome (for envs that don't reset this step)."""
+    import minigrid_tpu
+    from minigrid_tpu import wrappers as W
+
+    base = minigrid_tpu.make("MiniGrid-DistShift1-v0")
+    env = W.NoDeath(base, no_death_types=("lava",), death_cost=-1.0)
+    B = 8
+    keys_r = jax.random.split(jax.random.PRNGKey(0), B)
+    _, st = jax.jit(jax.vmap(base.reset))(keys_r)
+    # DistShift1: forward marches row 1 toward the lava strip; after a few
+    # forwards some envs stand in front of lava — forward then dies
+    step_keys = jax.random.split(jax.random.PRNGKey(1), B)
+    fwd = jnp.full((B,), 2, jnp.int32)
+    for _ in range(3):
+        _, st, *_ = jax.jit(jax.vmap(base.step))(step_keys, st, fwd)
+    st = st.replace(terminated=jnp.zeros_like(st.terminated))
+
+    pool = env.make_pool(jax.random.PRNGKey(2), 16)
+    obs_f, st_f, r_f, te_f, tr_f, _ = jax.jit(
+        lambda k, s, a: env.step_autoreset_pooled(k, s, a, pool))(
+        step_keys, st, fwd)
+    # nothing terminates (NoDeath cancels the lava death) and nothing
+    # truncates this early, so no env reset: fast-path outcome must equal
+    # the per-env wrapper step exactly
+    assert not bool((te_f | tr_f).any())
+    some_penalty = False
+    for b in range(B):
+        o_b, st_b, r_b, te_b, tr_b, _ = jax.jit(env.step)(
+            step_keys[b], jax.tree.map(lambda x: x[b], st), int(fwd[b]))
+        assert float(r_b) == float(r_f[b])
+        assert bool(te_b) == bool(te_f[b])
+        np.testing.assert_array_equal(np.asarray(st_b.grid),
+                                      np.asarray(st_f.grid[b]))
+        np.testing.assert_array_equal(np.asarray(st_b.agent_pos),
+                                      np.asarray(st_f.agent_pos[b]))
+        some_penalty = some_penalty or float(r_b) < 0
+    assert some_penalty, "no env hit lava — the scenario lost its teeth"
+
+    # deterministic replacement: prob=0 + random_action makes the
+    # stochastic wrapper a constant action map, checkable exactly
+    senv = W.StochasticActionWrapper(base, prob=0.0, random_action=0)
+    _, st0 = jax.jit(jax.vmap(base.reset))(keys_r)
+    obs_s, st_s, *_ = jax.jit(
+        lambda k, s, a: senv.step_autoreset_pooled(k, s, a, pool))(
+        step_keys, st0, fwd)
+    # forward was replaced by left everywhere: direction turned, pos fixed
+    np.testing.assert_array_equal(np.asarray(st_s.agent_pos),
+                                  np.asarray(st0.agent_pos))
+    np.testing.assert_array_equal(np.asarray(st_s.agent_dir),
+                                  np.asarray((st0.agent_dir - 1) % 4))
+
+    # stacking: NoDeath(Stochastic) still composes + fresh path runs
+    stack = W.NoDeath(W.StochasticActionWrapper(base, prob=1.0),
+                      no_death_types=("lava",))
+    buf = stack.presample_fresh(jax.random.PRNGKey(5), 32)
+    _, st1, r1, te1, tr1, info, cur = jax.jit(
+        lambda k, s, a: stack.step_autoreset_fresh(
+            k, s, a, buf, jnp.zeros((), jnp.int32)))(step_keys, st, fwd)
+    assert "reset_overflow" in info
+    assert not bool(te1.any())  # prob=1.0 forwards + NoDeath cancels
+
+
+def test_action_bonus_fast_path():
+    """The stateful-wrapper batched pattern (ActionBonus outermost):
+    pooled/presampled/fresh fast paths thread the WrappedState batch, the
+    dense count update matches the per-env scatter exactly, and counts
+    persist across resets."""
+    import minigrid_tpu
+    from minigrid_tpu import wrappers as W
+    from minigrid_tpu.envs.base import presample_reset_states
+
+    base = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+    w = W.ActionBonus(base)
+    B = 8
+    obs, wst = jax.jit(jax.vmap(w.reset))(
+        jax.random.split(jax.random.PRNGKey(0), B))
+    assert isinstance(wst, W.WrappedState)
+    pool = w.make_pool(jax.random.PRNGKey(1), 16)
+
+    actions = [jnp.full((B,), a, jnp.int32) for a in (2, 1, 2)]
+    keys = [jax.random.split(jax.random.PRNGKey(10 + t), B)
+            for t in range(3)]
+    fast = jax.jit(lambda k, s, a, r: w.step_autoreset_presampled(k, s, a, r))
+    slow = jax.jit(jax.vmap(w.step))
+
+    wst_f, wst_s = wst, wst
+    for t in range(3):
+        st_r = jax.tree.map(
+            lambda x: x[0],
+            presample_reset_states(jax.random.PRNGKey(20 + t), pool, 1))
+        _, wst_f, r_f, te_f, tr_f, _ = fast(keys[t], wst_f, actions[t], st_r)
+        _, wst_s, r_s, te_s, tr_s, _ = slow(keys[t], wst_s, actions[t])
+        # fresh episodes, no resets in 3 steps: outcomes must match exactly
+        assert not bool((te_f | tr_f).any())
+        np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_s),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(wst_f.wrapper),
+                                      np.asarray(wst_s.wrapper))
+        np.testing.assert_array_equal(np.asarray(wst_f.inner.agent_pos),
+                                      np.asarray(wst_s.inner.agent_pos))
+    # visits recorded: 3 per env
+    assert int(wst_f.wrapper.sum()) == 3 * B
+
+    # counts persist across a forced reset (the reference dict semantics)
+    wst_wave = wst_f.replace(inner=wst_f.inner.replace(
+        step_count=jnp.full((B,), base.params.max_steps - 1)))
+    st_r = jax.tree.map(
+        lambda x: x[0], presample_reset_states(jax.random.PRNGKey(9),
+                                               pool, 1))
+    _, wst2, _, te2, tr2, _ = fast(keys[0], wst_wave, actions[0], st_r)
+    assert bool((te2 | tr2).all())
+    assert int(wst2.inner.step_count.max()) == 0
+    assert int(wst2.wrapper.sum()) == 4 * B  # counts kept + this step
+
+    # fresh path variant
+    buf = w.presample_fresh(jax.random.PRNGKey(3), 32)
+    _, wst3, _, _, _, info, cur = jax.jit(
+        lambda k, s, a: w.step_autoreset_fresh(
+            k, s, a, buf, jnp.zeros((), jnp.int32)))(
+        keys[1], wst2, actions[1])
+    assert isinstance(wst3, W.WrappedState)
+    assert "reset_overflow" in info
