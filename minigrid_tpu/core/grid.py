@@ -44,6 +44,36 @@ def set_cell(grid: jax.Array, x, y, cell) -> jax.Array:
     return jnp.where(m[..., None], jnp.asarray(cell, jnp.uint8), grid)
 
 
+def onehot_set(arr: jax.Array, idxs: tuple, value, pred=None) -> jax.Array:
+    """Scatter-free ``arr.at[*idxs].set(value)`` over the leading dims.
+
+    ``idxs`` are traced scalars indexing ``arr``'s first ``len(idxs)``
+    axes; ``value`` broadcasts over the remaining axes; ``pred`` (scalar
+    bool) gates the whole write. Out-of-range indices write nothing.
+
+    Exists for CORRECTNESS, not just speed: this TPU backend's vectorized
+    scatter emitter silently writes sub-32-bit (int8/uint8/bool)
+    single-element scatters to the WRONG slots at large vmap batch
+    (measured here: ~6-9%% of lanes corrupted at B>=2048 on (3, 2) int8 /
+    (3, 3) bool / (8,) uint8 targets; 32-bit scatters and u8 row-updates
+    were exact). Every narrow-dtype traced-index write in the tree goes
+    through this (or :func:`set_cell`'s equivalent blend) instead of
+    ``.at[]``. The dense one-hot blend is also what the perf rules prefer:
+    scatters serialize ~5 ns/row under vmap while the blend fuses.
+    """
+    n = len(idxs)
+    mask = None
+    for d, ix in enumerate(idxs):
+        ax = jnp.arange(arr.shape[d]) == ix
+        ax = ax.reshape((1,) * d + (-1,) + (1,) * (n - d - 1))
+        mask = ax if mask is None else (mask & ax)
+    if pred is not None:
+        mask = mask & pred
+    mask = mask.reshape(mask.shape + (1,) * (arr.ndim - n))
+    v = jnp.asarray(value, arr.dtype)
+    return jnp.where(mask, v, arr)
+
+
 def get_cell(grid: jax.Array, x, y) -> jax.Array:
     """Read one cell; x/y may be traced scalars. Gather-free (one-hot mask
     reduction over the packed grid) for the same reason as :func:`set_cell`;

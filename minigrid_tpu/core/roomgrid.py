@@ -142,13 +142,11 @@ def door_exists(b: Builder, i, j, door_idx):
 
 
 def _mark_door(b: Builder, i, j, door_idx) -> Builder:
+    # one-hot blends, NOT .at[] scatters: narrow-dtype traced-index
+    # scatters corrupt at large vmap batch on TPU (grid.py onehot_set)
     is_r, ii_r, jj_d, _ = _door_slot(b, i, j, door_idx)
-    doors_r = b.doors_r.at[j, ii_r].set(
-        jnp.where(is_r, jnp.int8(1), b.doors_r[j, ii_r])
-    )
-    doors_d = b.doors_d.at[jj_d, i].set(
-        jnp.where(is_r, b.doors_d[jj_d, i], jnp.int8(1))
-    )
+    doors_r = G.onehot_set(b.doors_r, (j, ii_r), jnp.int8(1), pred=is_r)
+    doors_d = G.onehot_set(b.doors_d, (jj_d, i), jnp.int8(1), pred=~is_r)
     return b.replace(doors_r=doors_r, doors_d=doors_d)
 
 
@@ -175,7 +173,8 @@ def add_door(b: Builder, layout: RoomLayout, key, i, j, door_idx=None,
     _, _, _, pos = _door_slot(b, i, j, door_idx)
     state = jnp.where(locked, C.LOCKED, C.CLOSED).astype(jnp.uint8)
     grid = G.set_cell(b.grid, pos[0], pos[1], pack_cell(C.DOOR, color, state))
-    b = b.replace(grid=grid, locked=b.locked.at[j, i].set(locked))
+    b = b.replace(grid=grid,
+                  locked=G.onehot_set(b.locked, (j, i), locked))
     b = _mark_door(b, i, j, door_idx)
     return b, jnp.asarray(color, jnp.uint8), pos
 
@@ -230,7 +229,8 @@ def add_object(b: Builder, layout: RoomLayout, key, i, j, kind=None, color=None)
     color = jnp.asarray(color, jnp.uint8)
     cell = pack_cell(KIND_IDS[kind], color)
     b, pos = place_in_room(b, layout, k_place, i, j, cell)
-    b = b.replace(combo_used=b.combo_used.at[kind * 6 + color].set(True))
+    b = b.replace(combo_used=b.combo_used
+                  | (jnp.arange(18) == kind * 6 + color))
     return b, kind, color, pos
 
 
@@ -284,7 +284,7 @@ def reachable_rooms(b: Builder, layout: RoomLayout) -> jax.Array:
     doors/openings (the find_reach DFS, roomgrid.py:348-359)."""
     R, Cc = layout.num_rows, layout.num_cols
     i0, j0 = layout.room_from_pos(b.agent_pos)
-    reach = jnp.zeros((R, Cc), bool).at[j0, i0].set(True)
+    reach = (jnp.arange(R)[:, None] == j0) & (jnp.arange(Cc) == i0)
     open_r = (b.doors_r > 0) if Cc > 1 else jnp.zeros((R, 0), bool)
     open_d = (b.doors_d > 0) if R > 1 else jnp.zeros((0, Cc), bool)
 
@@ -348,15 +348,12 @@ def connect_all(b: Builder, layout: RoomLayout, key, door_color_ids=None,
             color = colors[jnp.where(has_excl, j_less, j_full)]
         is_r, ii_r, jj_d, pos = _door_slot(b, i, j, k)
         cell = pack_cell(C.DOOR, color, C.CLOSED)
-        grid = b.grid.at[pos[0], pos[1]].set(
-            jnp.where(ok, cell, b.grid[pos[0], pos[1]])
-        )
-        doors_r = b.doors_r.at[j, ii_r].set(
-            jnp.where(ok & is_r, jnp.int8(1), b.doors_r[j, ii_r])
-        )
-        doors_d = b.doors_d.at[jj_d, i].set(
-            jnp.where(ok & ~is_r, jnp.int8(1), b.doors_d[jj_d, i])
-        )
+        # blends, not scatters (grid.py onehot_set): x=-1 writes nothing
+        grid = G.set_cell(b.grid, jnp.where(ok, pos[0], -1), pos[1], cell)
+        doors_r = G.onehot_set(b.doors_r, (j, ii_r), jnp.int8(1),
+                               pred=ok & is_r)
+        doors_d = G.onehot_set(b.doors_d, (jj_d, i), jnp.int8(1),
+                               pred=ok & ~is_r)
         return (b.replace(grid=grid, doors_r=doors_r, doors_d=doors_d),
                 key, itr + 1)
 
@@ -387,7 +384,7 @@ def add_distractors(b: Builder, layout: RoomLayout, key, i=None, j=None,
             jax.random.fold_in(k_room, 1), (), 0, layout.num_rows)
         cell = pack_cell(KIND_IDS[kind], color)
         b, pos = place_in_room(b, layout, k_place, ri, rj, cell)
-        b = b.replace(combo_used=b.combo_used.at[combo].set(True))
+        b = b.replace(combo_used=b.combo_used | (jnp.arange(18) == combo))
         kinds.append(kind)
         colors.append(color)
         positions.append(pos)

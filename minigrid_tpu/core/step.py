@@ -129,7 +129,10 @@ def step_core(params: EnvParams, state: EnvState, action) -> tuple[EnvState, jax
         jnp.where(unlocks, C.OPEN, C.LOCKED),
         jnp.where(fstate == C.OPEN, C.CLOSED, C.OPEN),
     ).astype(jnp.uint8)
-    door_cell = fwd_cell.at[2].set(toggled_door_state)
+    # channel blend, not a scatter — keeps the hot path in the op class
+    # verified exact on TPU at any batch (see core/grid.py onehot_set)
+    door_cell = jnp.where(jnp.arange(fwd_cell.shape[0]) == 2,
+                          toggled_door_state, fwd_cell)
 
     # --- toggle: box reveals contents (world_object.py:290-293) --------
     is_box = ftype == C.BOX

@@ -103,7 +103,8 @@ def check_objs_reachable(b: RG.Builder) -> jax.Array:
     t = b.grid[..., 0]
     passable = (t == C.EMPTY) | (t == C.DOOR)
     W, H = t.shape
-    reach = jnp.zeros((W, H), bool).at[b.agent_pos[0], b.agent_pos[1]].set(True)
+    reach = ((jnp.arange(W)[:, None] == b.agent_pos[0])
+             & (jnp.arange(H) == b.agent_pos[1]))
 
     def body(_, reach):
         exp = reach & passable
@@ -131,8 +132,9 @@ def locked_door_colors(b: RG.Builder) -> jax.Array:
     """(6,) bool — colors of locked doors present in the grid."""
     locked = (b.grid[..., 0] == C.DOOR) & (b.grid[..., 2] == C.LOCKED)
     colors = b.grid[..., 1].astype(jnp.int32)
-    return jnp.zeros(6, bool).at[jnp.where(locked, colors, 6)].set(
-        True, mode="drop")
+    # dense membership, not a bool scatter (grid.py onehot_set rationale)
+    return ((colors[..., None] == jnp.arange(6))
+            & locked[..., None]).any((0, 1))
 
 
 def sample_room(key, layout, exclude=None):

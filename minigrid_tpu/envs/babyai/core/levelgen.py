@@ -187,10 +187,13 @@ class LevelGen(L.RoomGridLevel):
                                         all_unique=False)
 
         # agent placement outside the locked room (levelgen.py:67-75)
-        valid_rooms = jnp.ones((L_.num_rows, L_.num_cols), bool)
-        valid_rooms = valid_rooms.at[jnp.clip(lj, 0, L_.num_rows - 1),
-                                     jnp.clip(li, 0, L_.num_cols - 1)].set(
-            jnp.where(li >= 0, False, True))
+        # one-hot blend, not a bool scatter (grid.py onehot_set rationale)
+        locked_room = (
+            (jnp.arange(L_.num_rows)[:, None]
+             == jnp.clip(lj, 0, L_.num_rows - 1))
+            & (jnp.arange(L_.num_cols) == jnp.clip(li, 0, L_.num_cols - 1))
+            & (li >= 0))
+        valid_rooms = ~locked_room
         flat = jax.random.categorical(
             keys[4], jnp.where(valid_rooms.reshape(-1), 0.0, -1e9))
         ai = flat % L_.num_cols

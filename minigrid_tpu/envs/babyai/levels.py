@@ -49,12 +49,15 @@ def sample_door_cell(b, key):
 
 def recolor_positions(b, positions, color):
     """Set the color channel at each position (GoToRedBallGrey,
-    goto.py:72-73)."""
+    goto.py:72-73). Coordinate blend, not a scatter (grid.py onehot_set
+    rationale): one dense membership test over all positions."""
     grid = b.grid
-    for i in range(positions.shape[0]):
-        grid = grid.at[positions[i, 0], positions[i, 1], 1].set(
-            jnp.asarray(color, jnp.uint8))
-    return b.replace(grid=grid)
+    xs, ys = G.coord_grids(grid.shape[0], grid.shape[1])
+    hit = ((xs[..., None] == positions[:, 0])
+           & (ys[..., None] == positions[:, 1])).any(-1)
+    ch1 = jnp.where(hit, jnp.asarray(color, jnp.uint8), grid[..., 1])
+    return b.replace(grid=jnp.concatenate(
+        [grid[..., :1], ch1[..., None], grid[..., 2:]], axis=-1))
 
 
 # ---------------------------------------------------------------------------
@@ -508,12 +511,15 @@ class PutNext(RoomGridLevel):
         # teleport obj_a into the agent's hands (putnext.py:193-202)
         pos = self._carry_pos
         cell = state.grid[pos[0], pos[1]]
-        grid = state.grid.at[pos[0], pos[1]].set(jnp.asarray(C.EMPTY_CELL))
+        grid = G.set_cell(state.grid, pos[0], pos[1],
+                          jnp.asarray(C.EMPTY_CELL))
         instr = state.extra["instr"]
         d = instr.descs
         at_pos = d.mask_objs[:, pos[0], pos[1]]
+        xs, ys = G.coord_grids(grid.shape[0], grid.shape[1])
+        here = (xs == pos[0]) & (ys == pos[1])
         descs = d.replace(
-            mask_objs=d.mask_objs.at[:, pos[0], pos[1]].set(False),
+            mask_objs=d.mask_objs & ~here[None],
             carried=d.carried | at_pos,
         )
         extra = {**state.extra, "instr": instr.replace(descs=descs)}

@@ -103,13 +103,14 @@ class DynamicObstaclesEnv(MiniGridEnv):
             new = jnp.where(
                 ok, place.sample_from_mask(keys[i], mask), old
             )
-            grid = grid.at[old[0], old[1]].set(
-                jnp.where(ok, jnp.asarray(C.EMPTY_CELL), grid[old[0], old[1]])
-            )
-            grid = grid.at[new[0], new[1]].set(
-                jnp.where(ok, BALL_CELL, grid[new[0], new[1]])
-            )
-            obstacles = obstacles.at[i].set(new)
+            # coordinate blends, not scatters (grid.py onehot_set):
+            # narrow-dtype traced-index scatters corrupt at large vmap
+            # batch on TPU; x=-1 writes nothing
+            grid = G.set_cell(grid, jnp.where(ok, old[0], -1), old[1],
+                              jnp.asarray(C.EMPTY_CELL))
+            grid = G.set_cell(grid, jnp.where(ok, new[0], -1), new[1],
+                              BALL_CELL)
+            obstacles = obstacles.at[i].set(new)  # int32 + static i: safe
         return state.replace(grid=grid, extra={"obstacles": obstacles})
 
     def _post_step(self, prev, state, action, reward, terminated):

@@ -227,15 +227,19 @@ def solve(key, adj, weights, out_shape, periodic: bool,
         cell = wave_p[:, li, lj]
         pattern = _choose_pattern(k_pat, cell, wave_p, weights,
                                   choice_heuristic)
-        collapsed = jnp.zeros((P,), bool).at[pattern].set(True)
-        wave_c, contra_inner = propagate(
-            wave_p.at[:, li, lj].set(collapsed), adj, periodic)
+        # one-hot blends, not bool scatters (grid.py onehot_set rationale:
+        # narrow-dtype traced-index scatters corrupt at large vmap batch)
+        collapsed = jnp.arange(P) == pattern
+        at_loc = ((jnp.arange(wave_p.shape[1])[:, None] == li)
+                  & (jnp.arange(W) == lj))
+        wave_obs = jnp.where(at_loc[None], collapsed[:, None, None], wave_p)
+        wave_c, contra_inner = propagate(wave_obs, adj, periodic)
 
         # --- resolve outcomes -------------------------------------------
         if backtracking:
             # inner contradiction: restore this step's entry wave and ban
             # the tried pattern (solver.py:105-113)
-            banned = wave.at[pattern, li, lj].set(False)
+            banned = wave & ~(collapsed[:, None, None] & at_loc[None])
             next_wave = jnp.where(contra_inner, banned, wave_c)
             fatal = contra_top
         else:

@@ -54,10 +54,13 @@ def get_full_render(params: EnvParams, state: EnvState, highlight: bool = True,
         wx, wy = view_world_coords(params, state.agent_pos, state.agent_dir)
         inb = (wx >= 0) & (wx < params.width) & (wy >= 0) & (wy < params.height)
         mark = vis & inb
-        highlight_mask = jnp.zeros((params.width, params.height), bool)
-        highlight_mask = highlight_mask.at[
-            jnp.where(mark, wx, 0), jnp.where(mark, wy, 0)
-        ].max(mark)
+        # dense membership, not a bool scatter-max (grid.py onehot_set
+        # rationale): (W, H) x view-cells compare, ~30k lanes
+        xs = jnp.arange(params.width)[:, None, None]
+        ys = jnp.arange(params.height)[None, :, None]
+        highlight_mask = ((xs == wx.reshape(-1))
+                          & (ys == wy.reshape(-1))
+                          & mark.reshape(-1)).any(-1)
     else:
         highlight_mask = jnp.zeros((params.width, params.height), bool)
     return compose_frame(state.grid[..., :3], state.agent_pos, state.agent_dir,

@@ -508,7 +508,10 @@ class FullyObsWrapper(ObservationWrapper):
             jnp.asarray(C.COLOR_TO_IDX["red"], jnp.uint8),
             state.agent_dir.astype(jnp.uint8),
         ])
-        grid = grid.at[state.agent_pos[0], state.agent_pos[1]].set(agent_cell)
+        # coordinate blend, not a u8 scatter (core/grid.py onehot_set)
+        here = ((jnp.arange(grid.shape[0])[:, None] == state.agent_pos[0])
+                & (jnp.arange(grid.shape[1]) == state.agent_pos[1]))
+        grid = jnp.where(here[..., None], agent_cell, grid)
         return {**obs, "image": grid}
 
 
@@ -580,11 +583,13 @@ class FlatObsWrapper(ObservationWrapper):
             return out, offset + self._lens[tok]
 
         out, offset = jax.lax.fori_loop(0, L, body, (out, jnp.zeros((), jnp.int32)))
-        # drop the trailing separator space of the last word
+        # drop the trailing separator space of the last word — blend, not
+        # a u8 scatter (core/grid.py onehot_set rationale)
         has_words = offset > 0
-        out = out.at[jnp.maximum(offset - 1, 0), 26].set(
-            jnp.where(has_words, 0, out[jnp.maximum(offset - 1, 0), 26])
-        )
+        clear = ((jnp.arange(out.shape[0])[:, None]
+                  == jnp.maximum(offset - 1, 0))
+                 & (jnp.arange(28) == 26) & has_words)
+        out = jnp.where(clear, jnp.uint8(0), out)
         out = out[: self.max_str_len]
         img = obs["image"]
         return jnp.concatenate([img.reshape(-1), out.reshape(-1)])
