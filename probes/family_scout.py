@@ -64,17 +64,21 @@ def scout(env_id: str, out):
     rec["pure_step_wall_s"] = round(time.perf_counter() - t0, 1)
     rec["pure_step_rate"] = round(rate_pure)
 
-    # fresh exact auto-reset: buffer sized from the REAL episode budget
+    # fresh exact auto-reset. Buffer sizing: max_steps only bounds the
+    # reset rate for truncation-dominated envs; under random actions many
+    # families terminate much sooner (lava deaths, obstacle collisions),
+    # so run one calibration chunk and size from the MEASURED reset count
     chunk = 1024
     n_buf = int(chunk * BATCH / ms * 1.3) + 256
-    rec["fresh_n_buf"] = n_buf
     t0 = time.perf_counter()
     try:
-        rate_fresh = bench_fresh(env, staggered, n_buf, chunk=chunk,
-                                 repeats=4)
+        rate_fresh, n_buf, oflow = bench_fresh(env, staggered, n_buf,
+                                               chunk=chunk, repeats=4)
         rec["fresh_rate"] = round(rate_fresh)
+        rec["fresh_overflow"] = oflow
     except Exception as e:  # keep scouting other families
         rec["fresh_error"] = repr(e)[:200]
+    rec["fresh_n_buf"] = n_buf
     rec["fresh_wall_s"] = round(time.perf_counter() - t0, 1)
 
     out.write(json.dumps(rec) + "\n")
@@ -87,47 +91,64 @@ def bench_fresh(env, states, n_buf, chunk=1024, repeats=4):
 
     batch = states.agent_dir.shape[0]
     obs_key = "packed" if env.params.packed_obs else "image"
-    mean_step = n_buf / chunk
-    window = max(32, int(2 * mean_step + 6 * mean_step ** 0.5) + 1)
-    window = min(window, n_buf)
 
-    def run_chunk(state, key):
-        key, k_act, k_step, k_gen = jax.random.split(key, 4)
-        actions = jax.random.randint(k_act, (chunk, batch), 0, 7)
-        step_keys = jax.vmap(lambda i: jax.random.fold_in(k_step, i))(
-            jnp.arange(chunk))
-        buffer = presample_fresh_reset_states(env, k_gen, n_buf)
+    def make_run(n_buf):
+        mean_step = n_buf / chunk
+        window = max(32, int(2 * mean_step + 6 * mean_step ** 0.5) + 1)
+        window = min(window, n_buf)
 
-        def body(carry, xs):
-            state, cursor, oflow = carry
-            k, a = xs
-            keys = jax.random.split(k, batch)
-            obs, state, reward, term, trunc, info, cursor = \
-                autoreset_step_fresh(env, keys, state, a, buffer, cursor,
-                                     window=window)
-            o = obs[obs_key] if isinstance(obs, dict) else obs
-            probe = o.astype(jnp.int32).sum() + reward.sum()
-            return (state, cursor, oflow + info["reset_overflow"]), probe
+        def run_chunk(state, key):
+            key, k_act, k_step, k_gen = jax.random.split(key, 4)
+            actions = jax.random.randint(k_act, (chunk, batch), 0, 7)
+            step_keys = jax.vmap(lambda i: jax.random.fold_in(k_step, i))(
+                jnp.arange(chunk))
+            buffer = presample_fresh_reset_states(env, k_gen, n_buf)
 
-        (state, _, oflow), probes = jax.lax.scan(
-            body, (state, jnp.zeros((), jnp.int32),
-                   jnp.zeros((), jnp.int32)), (step_keys, actions),
-            unroll=8)
-        return state, key, probes.sum(), oflow
+            def body(carry, xs):
+                state, cursor, oflow = carry
+                k, a = xs
+                keys = jax.random.split(k, batch)
+                obs, state, reward, term, trunc, info, cursor = \
+                    autoreset_step_fresh(env, keys, state, a, buffer,
+                                         cursor, window=window)
+                o = obs[obs_key] if isinstance(obs, dict) else obs
+                probe = o.astype(jnp.int32).sum() + reward.sum()
+                return (state, cursor, oflow + info["reset_overflow"]), \
+                    probe
 
-    run_chunk = jax.jit(run_chunk, donate_argnums=(0,))
+            (state, cursor, oflow), probes = jax.lax.scan(
+                body, (state, jnp.zeros((), jnp.int32),
+                       jnp.zeros((), jnp.int32)), (step_keys, actions),
+                unroll=8)
+            return state, key, probes.sum(), oflow, cursor
+
+        return jax.jit(run_chunk, donate_argnums=(0,))
+
+    # calibration: one chunk at the truncation-based size, then resize
+    # from the measured consumption (cursor = resets this chunk)
+    run = make_run(n_buf)
     state = jax.tree.map(jnp.copy, states)
-    state, key, probe, oflow = run_chunk(state, jax.random.PRNGKey(1))
+    state, key, probe, oflow, cursor = run(state, jax.random.PRNGKey(1))
     jax.block_until_ready(probe)
+    consumed = int(cursor) + int(oflow)
+    need = int(consumed * 1.3) + 256
+    if need > n_buf * 1.1:
+        print(f"  resizing buffer {n_buf} -> {need} "
+              f"(measured {consumed} resets/chunk)")
+        n_buf = need
+        run = make_run(n_buf)
+        state, key, probe, oflow, cursor = run(state, key)
+        jax.block_until_ready(probe)
+
     t0 = time.perf_counter()
     total_oflow = 0
     for _ in range(repeats):
-        state, key, probe, oflow = run_chunk(state, key)
+        state, key, probe, oflow, cursor = run(state, key)
         total_oflow += int(oflow)
     jax.block_until_ready(probe)
     dt = time.perf_counter() - t0
     print(f"  fresh overflow across {repeats} chunks: {total_oflow}")
-    return repeats * batch * chunk / dt
+    return repeats * batch * chunk / dt, n_buf, total_oflow
 
 
 if __name__ == "__main__":
