@@ -281,7 +281,7 @@ def bench_family(env_id: str) -> dict:
     offs = jax.random.randint(jax.random.PRNGKey(3), (BATCH,), 0, ms)
     staggered = states.replace(step_count=offs)
 
-    rec["pure_step"] = round(bench_step(env, "pure", states, chunk=1024,
+    rec["pure_step"] = round(bench_step(env, "pure", states, chunk=2048,
                                         repeats=3))
     pool_states = jax.tree.map(lambda x: x[:POOL_SIZE], states)
     pool = jax.jit(lambda t: LayoutPool(*_serialize_stacked(t)))(pool_states)
@@ -424,7 +424,9 @@ def main():
 
     families = {}
     for fam_id in FAMILY_IDS:
+        t_fam = time.perf_counter()
         families[fam_id] = bench_family(fam_id)
+        families[fam_id]["wall_s"] = round(time.perf_counter() - t_fam, 1)
     wfc = bench_wfc()
 
     print(json.dumps({

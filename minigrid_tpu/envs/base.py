@@ -243,10 +243,12 @@ def _apply_broadcast_reset(env, keys, st, done, st_r):
     # NOTE: XOR-derived sibling keys are not jax's documented split/fold_in
     # construction; under counter-based threefry the XORed constant yields a
     # distinct counter stream, which is heuristically (not provably)
-    # independent of the same-step dynamics stream. Chosen for the hot
-    # path because a per-env fold_in pass costs a full batched threefry per
-    # step; the distribution guards in tests/test_distribution.py cover
-    # the observable consequences.
+    # independent of the same-step dynamics stream. MEASURED (round 5, v5e,
+    # B=4096 DoorKey-8x8): swapping in a vmapped fold_in costs 4.6% of the
+    # pooled auto-reset rate (135.9 -> 129.7M steps/s) and 1.4% of the
+    # fresh rate (125.7 -> 123.9M) — a real per-step batched threefry pass
+    # — so XOR stays; the distribution guards in
+    # tests/test_distribution.py cover the observable consequences.
     rng_r = keys ^ jnp.asarray([0x5DEECE66, 0xB5297A4D], keys.dtype)
     st_r = st_r.replace(rng=rng_r)  # batched rng; the rest broadcasts
     st = jax.tree.map(lambda a, b: jnp.where(bdone(a), b, a), st, st_r)

@@ -227,7 +227,14 @@ class TransitionWrapper(Wrapper):
     In a stack, action pre-maps apply outermost-first and outcome
     post-maps innermost-first — exactly the order nested ``step`` calls
     produce.
+
+    ``uses_rng`` (class attribute): set False when neither hook consumes
+    its key — the fast path then skips the per-wrapper ``fold_in``, which
+    is a full batched threefry pass per step (measured ~8 us/step at
+    B=4096; NoDeath needs none).
     """
+
+    uses_rng: bool = True
 
     def transform_action(self, key, env_state, action):
         return action
@@ -238,12 +245,14 @@ class TransitionWrapper(Wrapper):
 
     def step(self, key, state, action):
         e_prev = _inner_env_state(state)
-        a = self.transform_action(jax.random.fold_in(key, _TA_SALT),
-                                  e_prev, jnp.asarray(action, jnp.int32))
+        k_a = jax.random.fold_in(key, _TA_SALT) if self.uses_rng else key
+        a = self.transform_action(k_a, e_prev,
+                                  jnp.asarray(action, jnp.int32))
         obs, new_state, r, te, tr, i = self.env.step(key, state, a)
         e_new = _inner_env_state(new_state)
-        e2, r, te, tr = self.transform_outcome(
-            jax.random.fold_in(key, _TO_SALT), e_prev, e_new, a, r, te, tr)
+        k_o = jax.random.fold_in(key, _TO_SALT) if self.uses_rng else key
+        e2, r, te, tr = self.transform_outcome(k_o, e_prev, e_new, a, r,
+                                               te, tr)
         if e2 is not e_new:
             new_state = _replace_inner(new_state, e2)
         return obs, new_state, r, te, tr, i
@@ -263,14 +272,17 @@ def _composed_step_env(base, trans_chain):
         a = jnp.asarray(action, jnp.int32)
         fwd = []  # the action each wrapper forwarded inward
         for i, w in enumerate(trans_chain):
-            a = w.transform_action(
-                jax.random.fold_in(key, _TA_SALT + i), state, a)
+            k = (jax.random.fold_in(key, _TA_SALT + i) if w.uses_rng
+                 else key)
+            a = w.transform_action(k, state, a)
             fwd.append(a)
         st, r, te, tr = type(base).step_state(base, key, state, a)
         for i in reversed(range(len(trans_chain))):
-            st, r, te, tr = trans_chain[i].transform_outcome(
-                jax.random.fold_in(key, _TO_SALT + i), state, st, fwd[i],
-                r, te, tr)
+            w = trans_chain[i]
+            k = (jax.random.fold_in(key, _TO_SALT + i) if w.uses_rng
+                 else key)
+            st, r, te, tr = w.transform_outcome(k, state, st, fwd[i],
+                                                r, te, tr)
         return st, r, te, tr
 
     env = object.__new__(type(base))
@@ -691,6 +703,8 @@ class NoDeath(TransitionWrapper):
     Memoryless outcome post-map — the standard NoDeath-on-lava training
     setup keeps full pooled/fresh fast-path throughput."""
 
+    uses_rng = False  # pure predicate: skip the per-step key folds
+
     def __init__(self, env, no_death_types: tuple[str, ...],
                  death_cost: float = -1.0):
         assert "goal" not in no_death_types
@@ -709,7 +723,11 @@ class NoDeath(TransitionWrapper):
             & (ftype != C.EMPTY)
             & (self.death_types == ftype).any()
         )
-        cur = st.grid[st.agent_pos[0], st.agent_pos[1], 0].astype(jnp.int32)
+        # dense one-hot read of the agent's cell type: a per-env
+        # st.grid[x, y] gather serializes ~5 ns/row under vmap
+        here = ((jnp.arange(st.grid.shape[0])[:, None] == st.agent_pos[0])
+                & (jnp.arange(st.grid.shape[1]) == st.agent_pos[1]))
+        cur = jnp.where(here, st.grid[..., 0], 0).sum().astype(jnp.int32)
         in_death = (cur != C.EMPTY) & (self.death_types == cur).any()
 
         cancel = te & (going_to_death | in_death)
