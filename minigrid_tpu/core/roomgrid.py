@@ -364,13 +364,19 @@ def connect_all(b: Builder, layout: RoomLayout, key, door_color_ids=None,
 def add_distractors(b: Builder, layout: RoomLayout, key, i=None, j=None,
                     num_distractors: int = 10, all_unique: bool = True):
     """Scatter random objects (roomgrid.py:396-438). Returns
-    (builder, kinds, colors, positions) arrays of length num_distractors."""
+    (builder, kinds, colors, positions) arrays of length num_distractors.
+
+    One ``lax.scan`` over the distractor index, not an unrolled Python
+    loop: the body (combo draw + full-grid masked placement) is identical
+    per object, so unrolling multiplied the level generators' HLO by the
+    distractor count — the dominant term in BabyAI gen compile time
+    (BossLevel places up to 18 per mission)."""
     if num_distractors == 0:
         return (b, jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.uint8),
                 jnp.zeros((0, 2), jnp.int32))
-    kinds, colors, positions = [], [], []
-    for n in range(num_distractors):
-        key, k_combo, k_room, k_place = jax.random.split(key, 4)
+
+    def body(b, k):
+        k_combo, k_room, k_place = jax.random.split(k, 3)
         if all_unique:
             combo = jax.random.categorical(
                 k_combo, jnp.where(b.combo_used, place.NEG, 0.0)
@@ -385,7 +391,8 @@ def add_distractors(b: Builder, layout: RoomLayout, key, i=None, j=None,
         cell = pack_cell(KIND_IDS[kind], color)
         b, pos = place_in_room(b, layout, k_place, ri, rj, cell)
         b = b.replace(combo_used=b.combo_used | (jnp.arange(18) == combo))
-        kinds.append(kind)
-        colors.append(color)
-        positions.append(pos)
-    return (b, jnp.stack(kinds), jnp.stack(colors), jnp.stack(positions))
+        return b, (kind, color, pos)
+
+    b, (kinds, colors, positions) = jax.lax.scan(
+        body, b, jax.random.split(key, num_distractors))
+    return b, kinds, colors, positions
