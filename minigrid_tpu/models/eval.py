@@ -35,7 +35,9 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
 
     Finished episodes freeze (their state stops updating), so each episode
     is evaluated exactly once; the scan runs the env's ``max_steps`` budget
-    (or an explicit cap) for the stragglers. With ``require_all_done``
+    (or an explicit cap) for the stragglers. Dynamic-budget envs (BabyAI
+    levels, whose ``params.max_steps`` is a sentinel) derive the cap
+    automatically from the evaluated batch's own per-episode budgets. With ``require_all_done``
     (default) the call raises if any episode is still running when the
     scan budget ends — otherwise unfinished episodes would silently count
     as failures; pass ``False`` to accept that as a conservative bound.
@@ -43,14 +45,21 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
     if key is None:
         key = jax.random.PRNGKey(0)
     T = max_steps or int(env.params.max_steps)
+    k_reset, k_run = jax.random.split(key)
     if T > 1 << 16:
         # BabyAI RoomGridLevels keep a 2^30 sentinel in params.max_steps
         # and carry the real per-episode budget in state.extra["max_steps"]
-        # (envs/babyai/core/level.py) — an explicit scan cap is required
-        raise ValueError(
-            f"env reports max_steps={T} (dynamic-budget sentinel); pass an "
-            "explicit max_steps >= the level's episode budget")
-    k_reset, k_run = jax.random.split(key)
+        # (envs/babyai/core/level.py). Derive the scan cap from THIS
+        # batch's sampled budgets (the max over the episodes being
+        # evaluated — exactly long enough that none can be cut short);
+        # pass ``max_steps`` to override.
+        reset_key = (id(env), n_episodes)
+        reset_fn = _RUN_CACHE.get(reset_key)
+        if reset_fn is None:
+            reset_fn = jax.jit(jax.vmap(env.reset))
+            _cache_put(reset_key, reset_fn)
+        _, st0 = reset_fn(jax.random.split(k_reset, n_episodes))
+        T = int(jnp.max(st0.extra["max_steps"]))
 
     cache_key = (id(env), id(model), T, n_episodes)
     run = _RUN_CACHE.get(cache_key)
@@ -93,12 +102,16 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
             jax.random.split(k_run, T))
         return success.mean(), done.mean()
 
-    while len(_RUN_CACHE) >= _RUN_CACHE_MAX:  # FIFO eviction
-        _RUN_CACHE.pop(next(iter(_RUN_CACHE)))
-    _RUN_CACHE[cache_key] = run
+    _cache_put(cache_key, run)
     success_rate, done_rate = run(
         params, jax.random.split(k_reset, n_episodes), k_run)
     return _finish(success_rate, done_rate, require_all_done, T)
+
+
+def _cache_put(key, value):
+    while len(_RUN_CACHE) >= _RUN_CACHE_MAX:  # FIFO eviction
+        _RUN_CACHE.pop(next(iter(_RUN_CACHE)))
+    _RUN_CACHE[key] = value
 
 
 def _finish(success_rate, done_rate, require_all_done: bool, T: int):

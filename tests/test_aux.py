@@ -375,3 +375,20 @@ def test_sharded_rollout_matches_unsharded():
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b),
             err_msg=f"sharded vs unsharded mismatch in {name}")
+
+
+def test_eval_auto_budget_babyai():
+    """evaluate_success derives the scan cap for dynamic-budget BabyAI
+    levels from the evaluated batch's own per-episode budgets instead of
+    demanding an explicit max_steps (VERDICT r4 weak item 7)."""
+    import minigrid_tpu
+    from minigrid_tpu.models.actor_critic import ActorCritic, init_params
+    from minigrid_tpu.models.eval import evaluate_success
+
+    env = minigrid_tpu.make("BabyAI-GoToRedBallNoDists-v0").packed()
+    model = ActorCritic(hidden=16)
+    params = init_params(jax.random.PRNGKey(0), model=model, packed=True)
+    # no max_steps argument: must not raise, and all episodes must finish
+    rate = evaluate_success(env, model, params, n_episodes=32,
+                            require_all_done=True)
+    assert 0.0 <= rate <= 1.0
