@@ -200,23 +200,46 @@ def update_tracking(params, descs: Descs, prev, new, action) -> Descs:
                          carried=carried)
 
 
-def _leaf_verify(params, instr: InstrState, i: int, gate, prev, new, action,
-                 use_done_actions: bool):
-    """Result + memory updates for leaf slot i, applied only when gated."""
-    action = jnp.asarray(action, jnp.int32)
-    kind = instr.kinds[i]
-    strict = instr.strict[i]
-    d = instr.descs
-    mi, fi = 2 * i, 2 * i + 1
+def _leaf_commons(params, prev, new):
+    """The leaf-independent per-step quantities, computed ONCE per verify
+    call (they were recomputed inside every per-leaf invocation — 8x per
+    step — which made the verifier the BabyAI hot loop's op-count bomb)."""
     fm = _front_mask(params, new)
     ftype, fstate = _front_type_state(new.grid, fm)
-    now_carrying = new.carrying[0] != C.EMPTY
+    z = jnp.zeros_like(fm)
+    neigh = (
+        jnp.concatenate([fm[1:], z[:1]], axis=0)      # cell at x+1
+        | jnp.concatenate([z[:1], fm[:-1]], axis=0)   # cell at x-1
+        | jnp.concatenate([fm[:, 1:], z[:, :1]], axis=1)
+        | jnp.concatenate([z[:, :1], fm[:, :-1]], axis=1)
+    )
+    return (fm, ftype, fstate, new.carrying[0] != C.EMPTY,
+            prev.carrying[0] == C.EMPTY, new.carrying[0] == C.EMPTY, neigh)
+
+
+def _leaf_verify_all(instr: InstrState, gates, new, action,
+                     use_done_actions: bool, commons):
+    """Result + memory updates for ALL FOUR leaf slots in one vectorized
+    pass, each applied only under its ``gates`` (4,) entry. Exactly the
+    per-slot semantics of the reference verifier (verifier.py:254-433) —
+    slots never read each other's memos, so the vectorization is exact —
+    at ~1/4 the op count of four sequential slot passes."""
+    action = jnp.asarray(action, jnp.int32)
+    (fm, ftype, fstate, now_carrying, was_empty, now_empty,
+     neigh) = commons
+    kinds = instr.kinds                    # (4,)
+    strict = instr.strict                  # (4,)
+    d = instr.descs
+    mo = d.mask_objs[0::2]                 # (4, W, H) move descriptors
+    mp = d.mask_poss[0::2]
+    fx = d.mask_poss[1::2]                 # fixed descriptors (putnext)
+    carried_mv = d.carried[0::2]           # (4,)
 
     # --- open (verifier.py:254-288) ---
     front_is_door = ftype == C.DOOR
     open_success = (
         (action == Actions.toggle)
-        & jnp.any(d.mask_objs[mi] & fm)
+        & jnp.any(mo & fm[None], axis=(1, 2))
         & front_is_door
         & (fstate == C.OPEN)
     )
@@ -225,62 +248,53 @@ def _leaf_verify(params, instr: InstrState, i: int, gate, prev, new, action,
     )
 
     # --- goto (verifier.py:290-317): stale obj_poss ---
-    goto_success = jnp.any(d.mask_poss[mi] & fm)
+    goto_success = jnp.any(mp & fm[None], axis=(1, 2))
 
     # --- pickup (verifier.py:319-362) ---
     pk = action == Actions.pickup
-    pickup_success = pk & instr.pre_empty[i] & d.carried[mi] & now_carrying
+    pickup_success = pk & instr.pre_empty & carried_mv & now_carrying
     pickup_fail = pk & strict & now_carrying & ~pickup_success
 
     # --- putnext (verifier.py:365-433) ---
-    was_empty = prev.carrying[0] == C.EMPTY
-    drop_ok = (action == Actions.drop) & ~was_empty & (new.carrying[0] == C.EMPTY)
-    fixed = d.mask_poss[fi]
-    # adjacency via static shifts of the front mask (zero fill at borders)
-    z = jnp.zeros_like(fm)
-    neigh = (
-        jnp.concatenate([fm[1:], z[:1]], axis=0)      # cell at x+1
-        | jnp.concatenate([z[:1], fm[:-1]], axis=0)   # cell at x-1
-        | jnp.concatenate([fm[:, 1:], z[:, :1]], axis=1)
-        | jnp.concatenate([z[:, :1], fm[:, :-1]], axis=1)
-    )
-    adjacent = jnp.any(fixed & neigh)
-    put_success = drop_ok & instr.pre_move_carried[i] & adjacent
+    drop_ok = (action == Actions.drop) & ~was_empty & now_empty
+    adjacent = jnp.any(fx & neigh[None], axis=(1, 2))
+    put_success = drop_ok & instr.pre_move_carried & adjacent
     put_fail = pk & strict & now_carrying
 
     success = jnp.select(
-        [kind == OPEN, kind == GOTO, kind == PICKUP, kind == PUTNEXT],
+        [kinds == OPEN, kinds == GOTO, kinds == PICKUP, kinds == PUTNEXT],
         [open_success, goto_success, pickup_success, put_success],
-        default=jnp.zeros((), bool),
+        default=jnp.zeros((4,), bool),
     )
     fail = jnp.select(
-        [kind == OPEN, kind == GOTO, kind == PICKUP, kind == PUTNEXT],
-        [open_fail, jnp.zeros((), bool), pickup_fail, put_fail & ~put_success],
-        default=jnp.zeros((), bool),
+        [kinds == OPEN, kinds == GOTO, kinds == PICKUP, kinds == PUTNEXT],
+        [open_fail, jnp.zeros((4,), bool), pickup_fail,
+         put_fail & ~put_success],
+        default=jnp.zeros((4,), bool),
     )
 
     if use_done_actions:
         # verify() in done-actions mode (verifier.py:228-242): 'done' reports
         # the memo; other actions return None (-> continue) while updating it
         is_done_a = action == Actions.done
-        reported_success = is_done_a & instr.last_match[i]
-        reported_fail = is_done_a & ~instr.last_match[i]
-        new_last = jnp.where(gate & ~is_done_a, success, instr.last_match[i])
-        instr = instr.replace(last_match=instr.last_match.at[i].set(new_last))
+        reported_success = is_done_a & instr.last_match
+        reported_fail = is_done_a & ~instr.last_match
+        instr = instr.replace(last_match=jnp.where(
+            gates & ~is_done_a, success, instr.last_match))
         success, fail = reported_success, reported_fail
 
-    success &= gate
-    fail &= gate
+    success &= gates
+    fail &= gates
 
     # memory updates happen whenever invoked (verify_action entry)
-    verify_runs = gate if not use_done_actions else (gate & (action != Actions.done))
-    upd_pre = verify_runs & ((kind == PICKUP) | (kind == PUTNEXT))
+    verify_runs = (gates if not use_done_actions
+                   else (gates & (action != Actions.done)))
+    upd_pre = verify_runs & ((kinds == PICKUP) | (kinds == PUTNEXT))
     instr = instr.replace(
-        pre_empty=instr.pre_empty.at[i].set(
-            jnp.where(upd_pre, ~now_carrying, instr.pre_empty[i])),
-        pre_move_carried=instr.pre_move_carried.at[i].set(
-            jnp.where(upd_pre, d.carried[mi], instr.pre_move_carried[i])),
-        leaf_done=instr.leaf_done.at[i].set(instr.leaf_done[i] | success),
+        pre_empty=jnp.where(upd_pre, ~now_carrying, instr.pre_empty),
+        pre_move_carried=jnp.where(upd_pre, carried_mv,
+                                   instr.pre_move_carried),
+        leaf_done=instr.leaf_done | success,
     )
     return instr, success, fail
 
@@ -292,6 +306,7 @@ def verify(params, instr: InstrState, prev, new, action,
     """
     descs = update_tracking(params, instr.descs, prev, new, action)
     instr = instr.replace(descs=descs)
+    commons = _leaf_commons(params, prev, new)
 
     rk = instr.root_kind
     is_before = rk == ROOT_BEFORE
@@ -310,16 +325,10 @@ def verify(params, instr: InstrState, prev, new, action,
     gB1_p1 = is_after & ~instr.b_done & ~instr.leaf_done[2]
     gB2_p1 = is_after & ~instr.b_done & instr.b_is_and & ~instr.leaf_done[3]
 
-    fails = jnp.zeros((), bool)
-    instr, s0, f0 = _leaf_verify(params, instr, 0, gA1, prev, new, action,
-                                 use_done_actions)
-    instr, s1, f1 = _leaf_verify(params, instr, 1, gA2, prev, new, action,
-                                 use_done_actions)
-    instr, s2a, f2a = _leaf_verify(params, instr, 2, gB1_p1, prev, new, action,
-                                   use_done_actions)
-    instr, s3a, f3a = _leaf_verify(params, instr, 3, gB2_p1, prev, new, action,
-                                   use_done_actions)
-    fails |= f0 | f1 | f2a | f3a
+    instr, s1v, f1v = _leaf_verify_all(
+        instr, jnp.stack([gA1, gA2, gB1_p1, gB2_p1]), new, action,
+        use_done_actions, commons)
+    fails = f1v.any()
 
     a_part_done = instr.leaf_done[0] & (~instr.a_is_and | instr.leaf_done[1])
     b_part_done = instr.leaf_done[2] & (~instr.b_is_and | instr.leaf_done[3])
@@ -332,15 +341,10 @@ def verify(params, instr: InstrState, prev, new, action,
     gA1_p2 = is_after & b_done & ~instr.leaf_done[0]
     gA2_p2 = is_after & b_done & instr.a_is_and & ~instr.leaf_done[1]
 
-    instr, s2, f2 = _leaf_verify(params, instr, 2, gB1, prev, new, action,
-                                 use_done_actions)
-    instr, s3, f3 = _leaf_verify(params, instr, 3, gB2, prev, new, action,
-                                 use_done_actions)
-    instr, s0b, f0b = _leaf_verify(params, instr, 0, gA1_p2, prev, new, action,
-                                   use_done_actions)
-    instr, s1b, f1b = _leaf_verify(params, instr, 1, gA2_p2, prev, new, action,
-                                   use_done_actions)
-    fails |= f2 | f3 | f0b | f1b
+    instr, s2v, f2v = _leaf_verify_all(
+        instr, jnp.stack([gA1_p2, gA2_p2, gB1, gB2]), new, action,
+        use_done_actions, commons)
+    fails |= f2v.any()
 
     a_part_done = instr.leaf_done[0] & (~instr.a_is_and | instr.leaf_done[1])
     b_part_done = instr.leaf_done[2] & (~instr.b_is_and | instr.leaf_done[3])
