@@ -347,6 +347,7 @@ def presample_fresh_reset_states(env, key, n: int) -> "EnvState":
     return jax.vmap(env._gen_grid)(jax.random.split(key, n))
 
 
+
 def autoreset_step_fresh(env, keys, states, actions, buffer: "EnvState",
                          cursor, window: int = 32):
     """BATCHED auto-resetting step with exact reset distribution.

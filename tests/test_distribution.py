@@ -469,3 +469,4 @@ def test_fresh_autoreset_reset_distribution():
         if p < P_THRESHOLD:
             failures.append((k, p))
     assert not failures, f"fresh reset distribution mismatch: {failures}"
+
