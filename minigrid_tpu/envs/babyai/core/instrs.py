@@ -48,15 +48,41 @@ CONTINUE, SUCCESS, FAILURE = 0, 1, 2
 @struct.dataclass
 class Descs:
     """8 descriptor slots (leaf i uses slots 2i = move/primary, 2i+1 =
-    fixed). All leading dims are 8."""
+    fixed). All leading dims are 8.
+
+    Position masks are stored x-bit-packed: ``(8, H)`` uint32 where bit
+    ``x`` of element ``[slot, y]`` means cell ``(x, y)`` is in the set
+    (grids are at most 32 wide). The verifier carries these through every
+    env step, so packing cuts the dominant HBM traffic of the BabyAI hot
+    loop ~8x vs ``(8, W, H)`` bool planes (profiled: the mask blend +
+    any-reduce fusions were ~half the GoToObj step cost); all hot-path
+    operations — front-cell membership, pickup/drop blends, 4-neighbor
+    adjacency — are single bitwise ops on the packed rows. Use
+    :func:`pack_mask` / :func:`unpack_mask` at the (init-time/host-side)
+    boundaries."""
 
     type: jax.Array     # (8,) int32 in [0..4]
     color: jax.Array    # (8,) int32 in [0..6]
     loc: jax.Array      # (8,) int32 in [0..4]
     count: jax.Array    # (8,) int32 |obj_set| at reset
-    mask_objs: jax.Array  # (8, W, H) bool — tracked objects now on grid
-    mask_poss: jax.Array  # (8, W, H) bool — stale obj_poss (drop-refreshed)
+    mask_objs: jax.Array  # (8, H) uint32 — tracked objects now on grid
+    mask_poss: jax.Array  # (8, H) uint32 — stale obj_poss (drop-refreshed)
     carried: jax.Array  # (8,) bool — carried object is tracked
+
+
+def pack_mask(mask: jax.Array) -> jax.Array:
+    """``(..., W, H)`` bool -> ``(..., H)`` uint32, bit ``x`` = column x."""
+    W = mask.shape[-2]
+    assert W <= 32, f"packed masks need width <= 32, got {W}"
+    bits = jnp.uint32(1) << jnp.arange(W, dtype=jnp.uint32)
+    return jnp.sum(mask.astype(jnp.uint32) * bits[:, None], axis=-2,
+                   dtype=jnp.uint32)
+
+
+def unpack_mask(packed: jax.Array, width: int) -> jax.Array:
+    """``(..., H)`` uint32 -> ``(..., W, H)`` bool."""
+    bits = jnp.arange(width, dtype=jnp.uint32)
+    return ((packed[..., None, :] >> bits[:, None]) & 1).astype(bool)
 
 
 @struct.dataclass
@@ -77,14 +103,15 @@ class InstrState:
 
 
 def empty_descs(width: int, height: int) -> Descs:
+    assert width <= 32, f"packed masks need width <= 32, got {width}"
     z8 = jnp.zeros(8, jnp.int32)
     return Descs(
         type=z8 + TYPE_NONE,
         color=z8 + COLOR_NONE,
         loc=z8 + LOC_NONE,
         count=z8,
-        mask_objs=jnp.zeros((8, width, height), bool),
-        mask_poss=jnp.zeros((8, width, height), bool),
+        mask_objs=jnp.zeros((8, height), jnp.uint32),
+        mask_poss=jnp.zeros((8, height), jnp.uint32),
         carried=jnp.zeros(8, bool),
     )
 
@@ -137,13 +164,14 @@ def match_mask(grid, agent_pos, agent_dir, room_rect, dtype, color, loc):
 def init_desc_slot(descs: Descs, slot, grid, agent_pos, agent_dir, room_rect,
                    dtype, color, loc) -> Descs:
     mask = match_mask(grid, agent_pos, agent_dir, room_rect, dtype, color, loc)
+    packed = pack_mask(mask)
     return descs.replace(
         type=descs.type.at[slot].set(jnp.asarray(dtype, jnp.int32)),
         color=descs.color.at[slot].set(jnp.asarray(color, jnp.int32)),
         loc=descs.loc.at[slot].set(jnp.asarray(loc, jnp.int32)),
         count=descs.count.at[slot].set(mask.sum().astype(jnp.int32)),
-        mask_objs=descs.mask_objs.at[slot].set(mask),
-        mask_poss=descs.mask_poss.at[slot].set(mask),
+        mask_objs=descs.mask_objs.at[slot].set(packed),
+        mask_poss=descs.mask_poss.at[slot].set(packed),
         carried=descs.carried.at[slot].set(False),
     )
 
@@ -164,6 +192,21 @@ def _front_mask(params, state):
     return (xs == fx) & (ys == fy)
 
 
+def _front_mask_packed(params, state):
+    """(H,) uint32 bit-packed one-hot of the cell in front of the agent
+    (the packed-row counterpart of :func:`_front_mask`)."""
+    d = jnp.asarray(state.agent_dir, jnp.int32)
+    fx = state.agent_pos[0] + (d == 0).astype(jnp.int32) - (d == 2)
+    fy = state.agent_pos[1] + (d == 1).astype(jnp.int32) - (d == 3)
+    W, H = params.width, params.height
+    in_x = (fx >= 0) & (fx < W)
+    bit = jnp.where(in_x,
+                    jnp.uint32(1) << jnp.clip(fx, 0, 31).astype(jnp.uint32),
+                    jnp.uint32(0))
+    ys = jnp.arange(H, dtype=jnp.int32)
+    return jnp.where(ys == fy, bit, jnp.uint32(0))
+
+
 def _front_type_state(grid, fm):
     """(type, door_state) of the front cell, via the one-hot mask."""
     from minigrid_tpu.core import grid as G
@@ -176,6 +219,7 @@ def update_tracking(params, descs: Descs, prev, new, action) -> Descs:
     """Identity/position tracking across one env transition."""
     action = jnp.asarray(action, jnp.int32)
     fm = _front_mask(params, prev)
+    fmp = _front_mask_packed(params, prev)
     was_empty = prev.carrying[0] == C.EMPTY
     now_empty = new.carrying[0] == C.EMPTY
     picked = (action == Actions.pickup) & was_empty & ~now_empty
@@ -183,16 +227,16 @@ def update_tracking(params, descs: Descs, prev, new, action) -> Descs:
     ftype, _ = _front_type_state(prev.grid, fm)
     box_gone = (action == Actions.toggle) & (ftype == C.BOX)
 
-    at_front = jnp.any(descs.mask_objs & fm[None], axis=(1, 2))  # (8,)
+    at_front = jnp.any(descs.mask_objs & fmp[None], axis=1)  # (8,)
     take = picked & at_front
     lose_box = box_gone & at_front
     gain = dropped & descs.carried
 
-    mask_objs = jnp.where(
-        fm[None],
-        ((at_front & ~take & ~lose_box) | gain)[:, None, None],
-        descs.mask_objs,
-    )
+    # set/clear the front-cell bit per slot
+    front_in = (at_front & ~take & ~lose_box) | gain
+    mask_objs = jnp.where(front_in[:, None],
+                          descs.mask_objs | fmp[None],
+                          descs.mask_objs & ~fmp[None])
     carried = jnp.where(take, True, jnp.where(gain, False, descs.carried))
     # obj_poss refresh happens on every drop action (roomgrid_level.py:91-93)
     mask_poss = jnp.where(action == Actions.drop, mask_objs, descs.mask_poss)
@@ -205,15 +249,14 @@ def _leaf_commons(params, prev, new):
     call (they were recomputed inside every per-leaf invocation — 8x per
     step — which made the verifier the BabyAI hot loop's op-count bomb)."""
     fm = _front_mask(params, new)
+    fmp = _front_mask_packed(params, new)
     ftype, fstate = _front_type_state(new.grid, fm)
-    z = jnp.zeros_like(fm)
-    neigh = (
-        jnp.concatenate([fm[1:], z[:1]], axis=0)      # cell at x+1
-        | jnp.concatenate([z[:1], fm[:-1]], axis=0)   # cell at x-1
-        | jnp.concatenate([fm[:, 1:], z[:, :1]], axis=1)
-        | jnp.concatenate([z[:, :1], fm[:, :-1]], axis=1)
-    )
-    return (fm, ftype, fstate, new.carrying[0] != C.EMPTY,
+    # packed 4-neighborhood: x+-1 are bit shifts, y+-1 are row shifts
+    z = jnp.zeros((1,), jnp.uint32)
+    neigh = ((fmp << 1) | (fmp >> 1)
+             | jnp.concatenate([fmp[1:], z])
+             | jnp.concatenate([z, fmp[:-1]]))
+    return (fmp, ftype, fstate, new.carrying[0] != C.EMPTY,
             prev.carrying[0] == C.EMPTY, new.carrying[0] == C.EMPTY, neigh)
 
 
@@ -225,12 +268,12 @@ def _leaf_verify_all(instr: InstrState, gates, new, action,
     slots never read each other's memos, so the vectorization is exact —
     at ~1/4 the op count of four sequential slot passes."""
     action = jnp.asarray(action, jnp.int32)
-    (fm, ftype, fstate, now_carrying, was_empty, now_empty,
+    (fmp, ftype, fstate, now_carrying, was_empty, now_empty,
      neigh) = commons
     kinds = instr.kinds                    # (4,)
     strict = instr.strict                  # (4,)
     d = instr.descs
-    mo = d.mask_objs[0::2]                 # (4, W, H) move descriptors
+    mo = d.mask_objs[0::2]                 # (4, H) packed move descriptors
     mp = d.mask_poss[0::2]
     fx = d.mask_poss[1::2]                 # fixed descriptors (putnext)
     carried_mv = d.carried[0::2]           # (4,)
@@ -239,7 +282,7 @@ def _leaf_verify_all(instr: InstrState, gates, new, action,
     front_is_door = ftype == C.DOOR
     open_success = (
         (action == Actions.toggle)
-        & jnp.any(mo & fm[None], axis=(1, 2))
+        & jnp.any(mo & fmp[None], axis=1)
         & front_is_door
         & (fstate == C.OPEN)
     )
@@ -248,7 +291,7 @@ def _leaf_verify_all(instr: InstrState, gates, new, action,
     )
 
     # --- goto (verifier.py:290-317): stale obj_poss ---
-    goto_success = jnp.any(mp & fm[None], axis=(1, 2))
+    goto_success = jnp.any(mp & fmp[None], axis=1)
 
     # --- pickup (verifier.py:319-362) ---
     pk = action == Actions.pickup
@@ -257,7 +300,7 @@ def _leaf_verify_all(instr: InstrState, gates, new, action,
 
     # --- putnext (verifier.py:365-433) ---
     drop_ok = (action == Actions.drop) & ~was_empty & now_empty
-    adjacent = jnp.any(fx & neigh[None], axis=(1, 2))
+    adjacent = jnp.any(fx & neigh[None], axis=1)
     put_success = drop_ok & instr.pre_move_carried & adjacent
     put_fail = pk & strict & now_carrying
 

@@ -209,16 +209,15 @@ class RoomGridLevel(RoomGridEnv):
         for i in range(4):
             active = instr.kinds[i] != I.UNUSED
             is_put = instr.kinds[i] == I.PUTNEXT
-            move = instr.descs.mask_objs[2 * i]
+            move = instr.descs.mask_objs[2 * i]       # (H,) packed rows
             fixed = instr.descs.mask_objs[2 * i + 1]
             overlap = (move & fixed).any()
-            # objs already next to each other?
-            near = (
-                jnp.pad(fixed[:-1, :], ((1, 0), (0, 0)))
-                | jnp.pad(fixed[1:, :], ((0, 1), (0, 0)))
-                | jnp.pad(fixed[:, :-1], ((0, 0), (1, 0)))
-                | jnp.pad(fixed[:, 1:], ((0, 0), (0, 1)))
-            )
+            # objs already next to each other? packed 4-neighborhood:
+            # x+-1 are bit shifts, y+-1 are row shifts
+            z = jnp.zeros((1,), jnp.uint32)
+            near = ((fixed << 1) | (fixed >> 1)
+                    | jnp.concatenate([fixed[1:], z])
+                    | jnp.concatenate([z, fixed[:-1]]))
             touching = (move & near).any()
             ok &= ~(active & is_put & (overlap | touching))
 

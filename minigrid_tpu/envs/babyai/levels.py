@@ -515,9 +515,12 @@ class PutNext(RoomGridLevel):
                           jnp.asarray(C.EMPTY_CELL))
         instr = state.extra["instr"]
         d = instr.descs
-        at_pos = d.mask_objs[:, pos[0], pos[1]]
-        xs, ys = G.coord_grids(grid.shape[0], grid.shape[1])
-        here = (xs == pos[0]) & (ys == pos[1])
+        # packed one-hot of the carried object's cell
+        here = jnp.where(
+            jnp.arange(grid.shape[1]) == pos[1],
+            jnp.uint32(1) << jnp.clip(pos[0], 0, 31).astype(jnp.uint32),
+            jnp.uint32(0))
+        at_pos = jnp.any(d.mask_objs & here[None], axis=1)
         descs = d.replace(
             mask_objs=d.mask_objs & ~here[None],
             carried=d.carried | at_pos,

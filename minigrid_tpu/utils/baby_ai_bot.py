@@ -144,10 +144,12 @@ class BabyAIBot:
         """Action for leaf i, or None when no progress is possible with
         current knowledge (caller falls back to exploration)."""
         kind = int(s.instr.kinds[i])
-        move_mask = np.asarray(s.instr.descs.mask_objs[2 * i]) & s.seen
+        W = s.seen.shape[0]
+        unpack = lambda row: np.asarray(I.unpack_mask(row, W))
+        move_mask = unpack(s.instr.descs.mask_objs[2 * i]) & s.seen
         move_carried = bool(s.instr.descs.carried[2 * i])
         if kind == I.GOTO:
-            targets = np.asarray(s.instr.descs.mask_poss[2 * i]) & s.seen
+            targets = unpack(s.instr.descs.mask_poss[2 * i]) & s.seen
             if not targets.any():
                 return None
             return self._go_adjacent(s, targets)
@@ -158,7 +160,7 @@ class BabyAIBot:
         if kind == I.PICKUP:
             return self._plan_pickup(s, move_mask, move_carried)
         if kind == I.PUTNEXT:
-            fixed_mask = np.asarray(s.instr.descs.mask_poss[2 * i + 1]) & s.seen
+            fixed_mask = unpack(s.instr.descs.mask_poss[2 * i + 1]) & s.seen
             return self._plan_putnext(s, move_mask, move_carried, fixed_mask)
         return None
 
