@@ -191,3 +191,27 @@ def test_instruction_kind_coverage():
     seq_ids = seen["BeforeInstr"] | seen["AfterInstr"]
     assert any("Seq" in i for i in seq_ids), (
         f"Before/After roots only via {seq_ids}")
+
+
+def test_packed_mask_roundtrip():
+    """pack_mask/unpack_mask are exact inverses and pack_mask matches the
+    documented bit layout (bit x of row y = cell (x, y)) at every width
+    the level catalog uses."""
+    import jax.numpy as jnp
+
+    from minigrid_tpu.envs.babyai.core import instrs as I
+
+    for w, h in [(4, 4), (8, 8), (22, 22), (31, 7), (32, 5)]:
+        m = np.asarray(
+            jax.random.bernoulli(jax.random.PRNGKey(w * 100 + h), 0.3,
+                                 (8, w, h)))
+        packed = I.pack_mask(jnp.asarray(m))
+        assert packed.dtype == jnp.uint32 and packed.shape == (8, h)
+        np.testing.assert_array_equal(
+            np.asarray(I.unpack_mask(packed, w)), m)
+        # bit layout: column x of row y lands in bit x of element [s, y]
+        p = np.asarray(packed)
+        for s in range(8):
+            for y in range(h):
+                assert p[s, y] == sum(
+                    int(m[s, x, y]) << x for x in range(w))
