@@ -208,10 +208,14 @@ def _front_mask_packed(params, state):
 
 
 def _front_type_state(grid, fm):
-    """(type, door_state) of the front cell, via the one-hot mask."""
-    from minigrid_tpu.core import grid as G
+    """(type, door_state) of the front cell, via the one-hot mask.
 
-    packed = jnp.sum(jnp.where(fm, G.pack_cells(grid), 0))
+    Combines only the two observed channels inline (a full
+    ``pack_cells(grid)`` materializes a (W, H) int32 grid copy; this
+    2-channel combine fuses into the reduction)."""
+    ps = (grid[..., 0].astype(jnp.int32)
+          | (grid[..., 2].astype(jnp.int32) << 7))
+    packed = jnp.sum(jnp.where(fm, ps, 0))
     return packed & 15, (packed >> 7) & 3
 
 
