@@ -71,9 +71,14 @@ class Descs:
 
 
 def pack_mask(mask: jax.Array) -> jax.Array:
-    """``(..., W, H)`` bool -> ``(..., H)`` uint32, bit ``x`` = column x."""
+    """``(..., W, H)`` bool -> ``(..., H)`` uint32, bit ``x`` = column x.
+
+    Width is capped at 24, not 32: packed rows ride the fresh-reset
+    routing contraction (envs/base.py ``_fresh_select``), which mixes
+    integer leaves through a float32 one-hot matmul and is exact only
+    below 2^24. The BabyAI catalog maxes out at W = 22."""
     W = mask.shape[-2]
-    assert W <= 32, f"packed masks need width <= 32, got {W}"
+    assert W <= 24, f"packed masks need width <= 24, got {W}"
     bits = jnp.uint32(1) << jnp.arange(W, dtype=jnp.uint32)
     return jnp.sum(mask.astype(jnp.uint32) * bits[:, None], axis=-2,
                    dtype=jnp.uint32)
@@ -103,7 +108,8 @@ class InstrState:
 
 
 def empty_descs(width: int, height: int) -> Descs:
-    assert width <= 32, f"packed masks need width <= 32, got {width}"
+    # 24, not 32: see pack_mask (f32 fresh-reset routing exactness)
+    assert width <= 24, f"packed masks need width <= 24, got {width}"
     z8 = jnp.zeros(8, jnp.int32)
     return Descs(
         type=z8 + TYPE_NONE,

@@ -230,6 +230,18 @@ def presample_reset_states(key, pool: LayoutPool, length: int) -> "EnvState":
     return jax.vmap(_deserialize_row, in_axes=(0, None))(rows, pool.spec)
 
 
+def draw_pool_row(keys, pool: LayoutPool) -> "EnvState":
+    """The broadcast-row pool draw: ONE row for this step, salted off the
+    first env's step key. The single source of the draw construction —
+    wrapper fast paths that pre-draw the row (ActionBonus) call this so
+    they can never drift from :func:`autoreset_step_pooled`'s reset
+    distribution."""
+    k_pool = jax.random.fold_in(keys[0], 0x9E3779B9)
+    row_i = jax.random.randint(k_pool, (), 0, pool.size)
+    row = jax.lax.dynamic_slice_in_dim(pool.buf, row_i, 1, axis=0)[0]
+    return _deserialize_row(row, pool.spec)
+
+
 def _apply_broadcast_reset(env, keys, st, done, st_r):
     """Shared tail of the pooled auto-reset: select the (broadcast) reset
     state into finished envs with fresh per-env episode RNG, then generate
@@ -300,7 +312,6 @@ def autoreset_step_pooled(env, keys, states, actions, pool: LayoutPool,
     """
     from minigrid_tpu.core.obs import gen_obs
 
-    k_pool = jax.random.fold_in(keys[0], 0x9E3779B9)
     st, reward, term, trunc = jax.vmap(env.step_state)(keys, states, actions)
     done = term | trunc
     bdone = lambda x: done.reshape((-1,) + (1,) * (x.ndim - 1))
@@ -317,9 +328,7 @@ def autoreset_step_pooled(env, keys, states, actions, pool: LayoutPool,
         st_r = st_r.replace(rng=rng_r)
         st = jax.tree.map(lambda a, b: jnp.where(bdone(a), b, a), st, st_r)
     else:
-        row_i = jax.random.randint(k_pool, (), 0, pool.size)
-        row = jax.lax.dynamic_slice_in_dim(pool.buf, row_i, 1, axis=0)[0]
-        st_r = _deserialize_row(row, pool.spec)  # UNBATCHED: broadcast in
+        st_r = draw_pool_row(keys, pool)  # UNBATCHED: broadcast in
         obs, st = _apply_broadcast_reset(env, keys, st, done, st_r)
         return obs, st, reward, term, trunc, {}
     obs = jax.vmap(lambda s: gen_obs(env.params, s))(st)

@@ -46,6 +46,16 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
         key = jax.random.PRNGKey(0)
     T = max_steps or int(env.params.max_steps)
     k_reset, k_run = jax.random.split(key)
+    # reset once outside the runner — the dynamic-budget path below needs
+    # the batch anyway to derive T, and resetting again inside the jitted
+    # scan would regenerate the identical layouts (BabyAI layout
+    # generation dominates reset cost, so that doubled every eval)
+    reset_key = (id(env), n_episodes)
+    reset_fn = _RUN_CACHE.get(reset_key)
+    if reset_fn is None:
+        reset_fn = jax.jit(jax.vmap(env.reset))
+        _cache_put(reset_key, reset_fn)
+    obs0, st0 = reset_fn(jax.random.split(k_reset, n_episodes))
     if T > 1 << 16:
         # BabyAI RoomGridLevels keep a 2^30 sentinel in params.max_steps
         # and carry the real per-episode budget in state.extra["max_steps"]
@@ -53,26 +63,18 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
         # batch's sampled budgets (the max over the episodes being
         # evaluated — exactly long enough that none can be cut short);
         # pass ``max_steps`` to override.
-        reset_key = (id(env), n_episodes)
-        reset_fn = _RUN_CACHE.get(reset_key)
-        if reset_fn is None:
-            reset_fn = jax.jit(jax.vmap(env.reset))
-            _cache_put(reset_key, reset_fn)
-        _, st0 = reset_fn(jax.random.split(k_reset, n_episodes))
         T = int(jnp.max(st0.extra["max_steps"]))
 
     cache_key = (id(env), id(model), T, n_episodes)
     run = _RUN_CACHE.get(cache_key)
     if run is not None:
-        success_rate, done_rate = run(
-            params, jax.random.split(k_reset, n_episodes), k_run)
+        success_rate, done_rate = run(params, st0, obs0, k_run)
         return _finish(success_rate, done_rate, require_all_done, T)
 
     recurrent = bool(getattr(model, "is_recurrent", False))
 
     @jax.jit
-    def run(params, keys_reset, k_run):
-        obs, st = jax.vmap(env.reset)(keys_reset)
+    def run(params, st, obs, k_run):
 
         def body(carry, k):
             st, obs, h, done, success = carry
@@ -103,8 +105,7 @@ def evaluate_success(env, model, params, n_episodes: int = 1024,
         return success.mean(), done.mean()
 
     _cache_put(cache_key, run)
-    success_rate, done_rate = run(
-        params, jax.random.split(k_reset, n_episodes), k_run)
+    success_rate, done_rate = run(params, st0, obs0, k_run)
     return _finish(success_rate, done_rate, require_all_done, T)
 
 

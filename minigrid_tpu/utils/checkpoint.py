@@ -28,8 +28,16 @@ def save_pytree(path: str, tree: Any) -> None:
     except Exception:
         pass
     leaves, treedef = jax.tree_util.tree_flatten(tree)
+    # keypaths are the version-tolerant structure encoding: repr(treedef)
+    # is not stable across jax versions, but the flattened key paths
+    # ("['params']['dense']['kernel']", ...) are semantic and ordered, so
+    # they catch same-shape-different-order drift (e.g. renamed/reordered
+    # dict keys zipping leaves into the wrong parameters)
+    keypaths = np.array([jax.tree_util.keystr(p) for p, _ in
+                         jax.tree_util.tree_flatten_with_path(tree)[0]])
     np.savez(path if path.endswith(".npz") else path + ".npz",
              treedef=np.frombuffer(repr(treedef).encode(), dtype=np.uint8),
+             keypaths=keypaths,
              **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
 
 
@@ -44,16 +52,29 @@ def restore_pytree(path: str, like: Any) -> Any:
         pass
     npz = np.load(path if path.endswith(".npz") else path + ".npz")
     leaves, treedef = jax.tree_util.tree_flatten(like)
-    # validate against the stored treedef: restoring into a drifted pytree
-    # structure would silently mis-assign leaves
-    if "treedef" in npz:
+    # validate against the stored structure: restoring into a drifted
+    # pytree would silently mis-assign leaves. Keypaths are the primary
+    # check — semantic, ordered, stable across jax versions — and a
+    # mismatch is a hard error (same leaf count AND shapes but reordered
+    # keys would otherwise zip weights into the wrong parameters).
+    if "keypaths" in npz:
+        saved_paths = [str(s) for s in npz["keypaths"]]
+        like_paths = [jax.tree_util.keystr(p) for p, _ in
+                      jax.tree_util.tree_flatten_with_path(like)[0]]
+        if saved_paths != like_paths:
+            diff = [f"  {a!r} -> {b!r}" for a, b in
+                    zip(saved_paths, like_paths) if a != b][:8]
+            raise ValueError(
+                "checkpoint pytree key paths do not match the restore "
+                "target (leaves would be mis-assigned):\n" + "\n".join(
+                    diff or ["  (leaf count differs)"]))
+    elif "treedef" in npz:
         saved = bytes(npz["treedef"]).decode()
         if saved != repr(treedef):
-            # repr(PyTreeDef) is not stable across jax versions, so a
-            # mismatch alone must not reject a valid checkpoint — the
-            # leaf-count and per-leaf shape checks below catch real drift;
-            # this warning flags the remaining ambiguity (same leaf count
-            # AND shapes but reordered keys)
+            # pre-keypath checkpoints: repr(PyTreeDef) is not stable
+            # across jax versions, so a repr mismatch alone must not
+            # reject a valid checkpoint — warn and rely on the leaf
+            # count/shape checks below
             import warnings
 
             warnings.warn(

@@ -236,6 +236,20 @@ class TransitionWrapper(Wrapper):
 
     uses_rng: bool = True
 
+    def __init__(self, env):
+        super().__init__(env)
+        # per-layer key-stream index: the number of TransitionWrappers
+        # BENEATH this one. Both the nested ``step`` path and the composed
+        # fast path salt by it, so stacked rng-using transforms draw
+        # DISTINCT keys and the two paths use the same stream per layer
+        # (un-indexed salts made two stacked StochasticActionWrappers
+        # repeat the same draw on the exact path).
+        d, e = 0, env
+        while isinstance(e, Wrapper):
+            d += isinstance(e, TransitionWrapper)
+            e = e.env
+        self._t_depth = d
+
     def transform_action(self, key, env_state, action):
         return action
 
@@ -245,12 +259,14 @@ class TransitionWrapper(Wrapper):
 
     def step(self, key, state, action):
         e_prev = _inner_env_state(state)
-        k_a = jax.random.fold_in(key, _TA_SALT) if self.uses_rng else key
+        k_a = (jax.random.fold_in(key, _TA_SALT + self._t_depth)
+               if self.uses_rng else key)
         a = self.transform_action(k_a, e_prev,
                                   jnp.asarray(action, jnp.int32))
         obs, new_state, r, te, tr, i = self.env.step(key, state, a)
         e_new = _inner_env_state(new_state)
-        k_o = jax.random.fold_in(key, _TO_SALT) if self.uses_rng else key
+        k_o = (jax.random.fold_in(key, _TO_SALT + self._t_depth)
+               if self.uses_rng else key)
         e2, r, te, tr = self.transform_outcome(k_o, e_prev, e_new, a, r,
                                                te, tr)
         if e2 is not e_new:
@@ -271,16 +287,19 @@ def _composed_step_env(base, trans_chain):
     def step_state(key, state, action):
         a = jnp.asarray(action, jnp.int32)
         fwd = []  # the action each wrapper forwarded inward
-        for i, w in enumerate(trans_chain):
-            k = (jax.random.fold_in(key, _TA_SALT + i) if w.uses_rng
-                 else key)
+        for w in trans_chain:
+            # salt by the wrapper's own stream index (see
+            # TransitionWrapper.__init__) so this composed path draws the
+            # same per-layer keys as the nested ``step`` path
+            k = (jax.random.fold_in(key, _TA_SALT + w._t_depth)
+                 if w.uses_rng else key)
             a = w.transform_action(k, state, a)
             fwd.append(a)
         st, r, te, tr = type(base).step_state(base, key, state, a)
         for i in reversed(range(len(trans_chain))):
             w = trans_chain[i]
-            k = (jax.random.fold_in(key, _TO_SALT + i) if w.uses_rng
-                 else key)
+            k = (jax.random.fold_in(key, _TO_SALT + w._t_depth)
+                 if w.uses_rng else key)
             st, r, te, tr = w.transform_outcome(k, state, st, fwd[i],
                                                 r, te, tr)
         return st, r, te, tr
@@ -403,17 +422,14 @@ class ActionBonus(Wrapper):
 
     def step_autoreset_pooled(self, keys, states, actions, pool,
                               independent: bool = False):
-        from minigrid_tpu.envs.base import _deserialize_row
+        from minigrid_tpu.envs.base import draw_pool_row
 
         if independent:
             raise NotImplementedError(
                 "ActionBonus fast path supports the broadcast-row pooled "
                 "mode only")
-        k_pool = jax.random.fold_in(keys[0], 0x9E3779B9)
-        row_i = jax.random.randint(k_pool, (), 0, pool.size)
-        row = jax.lax.dynamic_slice_in_dim(pool.buf, row_i, 1, axis=0)[0]
         return self.step_autoreset_presampled(
-            keys, states, actions, _deserialize_row(row, pool.spec))
+            keys, states, actions, draw_pool_row(keys, pool))
 
     def step_autoreset_fresh(self, keys, states, actions, buffer, cursor,
                              window: int = 32):

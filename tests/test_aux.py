@@ -86,6 +86,30 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(s1.grid), np.asarray(s2.grid))
 
 
+def test_checkpoint_keypath_guard(tmp_path, monkeypatch):
+    """The npz fallback stores flattened key paths and refuses to restore
+    into a pytree whose key paths differ — same leaf count and shapes with
+    renamed/reordered keys would otherwise zip weights into the wrong
+    parameters (round-5 review finding)."""
+    import sys
+
+    # force the npz fallback deterministically (orbax import fails)
+    monkeypatch.setitem(sys.modules, "orbax", None)
+    monkeypatch.setitem(sys.modules, "orbax.checkpoint", None)
+
+    tree = {"a": np.ones((3, 2), np.float32),
+            "b": np.full((3, 2), 7.0, np.float32)}
+    path = str(tmp_path / "kp.npz")
+    save_pytree(path, tree)
+    out = restore_pytree(path, {"a": np.zeros((3, 2), np.float32),
+                                "b": np.zeros((3, 2), np.float32)})
+    np.testing.assert_array_equal(out["b"], tree["b"])
+    # renamed key, identical leaf count + shapes: must fail loudly
+    with pytest.raises(ValueError, match="key paths"):
+        restore_pytree(path, {"a": np.zeros((3, 2), np.float32),
+                              "c": np.zeros((3, 2), np.float32)})
+
+
 def test_rollout_driver_sharded():
     """Rollouts under an 8-device mesh with the batch sharded on data."""
     mesh = make_mesh(8, model_parallel=1)

@@ -78,6 +78,7 @@ def test_site_utils(tmp_path):
     """The docs-site glue (docs/site_utils.py): 404 link rewriting matches
     the reference's transformation (docs/_scripts/move_404.py), docstring
     trim and env-name prettification behave like docs/_scripts/utils.py."""
+    import os
     import subprocess
     import sys
 
@@ -86,8 +87,9 @@ def test_site_utils(tmp_path):
     page = tmp_path / "404.html"
     page.write_text('<a href="../foo.css">x</a><img src="../img/a.png">'
                     '<a href="/abs">keep</a>')
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     subprocess.run([sys.executable, "docs/site_utils.py", str(page)],
-                   check=True, cwd="/root/repo")
+                   check=True, cwd=repo_root)
     out = page.read_text()
     assert 'href="/foo.css"' in out and 'src="/img/a.png"' in out
     assert 'href="/abs"' in out

@@ -323,6 +323,41 @@ def test_transition_wrappers_ride_fast_paths():
     assert not bool(te1.any())  # prob=1.0 forwards + NoDeath cancels
 
 
+def test_stacked_transition_wrappers_key_streams():
+    """Two stacked rng-using TransitionWrappers must draw DISTINCT
+    per-layer transform keys, and the nested ``step`` path must agree
+    exactly with the composed batched fast path (round-5 review finding:
+    un-indexed salts made stacked StochasticActionWrappers repeat the
+    same draw on the exact path, diverging from the fast path)."""
+    import minigrid_tpu
+    from minigrid_tpu import wrappers as W
+
+    base = minigrid_tpu.make("MiniGrid-Empty-8x8-v0")
+    stack = W.StochasticActionWrapper(
+        W.StochasticActionWrapper(base, prob=0.5), prob=0.5)
+    assert stack._t_depth == 1 and stack.env._t_depth == 0
+
+    B = 32
+    keys_r = jax.random.split(jax.random.PRNGKey(0), B)
+    _, st = jax.jit(jax.vmap(base.reset))(keys_r)
+    step_keys = jax.random.split(jax.random.PRNGKey(1), B)
+    fwd = jnp.full((B,), 2, jnp.int32)
+
+    pool = stack.make_pool(jax.random.PRNGKey(2), 16)
+    _, st_f, r_f, te_f, tr_f, _ = jax.jit(
+        lambda k, s, a: stack.step_autoreset_pooled(k, s, a, pool))(
+        step_keys, st, fwd)
+    assert not bool((te_f | tr_f).any())  # fresh episodes: nobody resets
+    for b in range(B):
+        _, st_b, r_b, *_ = jax.jit(stack.step)(
+            step_keys[b], jax.tree.map(lambda x: x[b], st), int(fwd[b]))
+        np.testing.assert_array_equal(np.asarray(st_b.agent_pos),
+                                      np.asarray(st_f.agent_pos[b]))
+        np.testing.assert_array_equal(np.asarray(st_b.agent_dir),
+                                      np.asarray(st_f.agent_dir[b]))
+        assert float(r_b) == float(r_f[b])
+
+
 def test_action_bonus_fast_path():
     """The stateful-wrapper batched pattern (ActionBonus outermost):
     pooled/presampled/fresh fast paths thread the WrappedState batch, the
