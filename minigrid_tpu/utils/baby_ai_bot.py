@@ -513,14 +513,26 @@ class BabyAIBot:
         return self._advance(s, step)
 
     def _first_step(self, s, dist, goal, allow_unblock):
-        """Backtrack the BFS field from goal to adjacent-to-agent cell."""
+        """Backtrack the BFS field from goal to adjacent-to-agent cell.
+
+        Intermediate steps must be cells BFS actually expanded through
+        (``ok``): the field also assigns distances to marked-but-blocking
+        cells (objects, doors — see _bfs), and a naive dist-1 descent can
+        run the chain through one, yielding a "first step" onto an object
+        the agent cannot enter — _advance then bails and the bot
+        deadlocks emitting ``done``. Every marked cell's BFS parent is
+        expandable, so restricting the descent keeps it complete; the
+        goal cell itself may still be a blocking cell (door to toggle,
+        object to unblock-pick) when the path length is 1."""
         cur = goal
+        ok = self._passable(s, allow_unblock)
         guard = 0
         while dist[cur] > 1 and guard < 10000:
             guard += 1
             for d in DIRS:
                 n = (cur[0] - d[0], cur[1] - d[1])
-                if s.in_bounds(n) and dist[n] == dist[cur] - 1:
+                if (s.in_bounds(n) and dist[n] == dist[cur] - 1
+                        and ok[n]):
                     cur = n
                     break
             else:
