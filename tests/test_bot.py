@@ -42,6 +42,10 @@ FAST_LEVELS = [
     "BabyAI-UnlockToUnlock-v0",
     "BabyAI-ActionObjDoor-v0",
     "BabyAI-KeyCorridorS3R3-v0",
+    # densest object packing in the catalog (18 objs, two rooms): exercises
+    # the BFS backtrack + unblock planning (regression: _first_step
+    # descending through marked object cells deadlocked the bot here)
+    "BabyAI-MoveTwoAcrossS8N9-v0",
     # SynthLoc (the LevelGen grammar's bot exercise) lives in the nightly
     # tier: its reset compile alone is ~2 min cold and the grammar is
     # already compiled+lockstep-checked in the default tier by
