@@ -87,12 +87,14 @@ class Wrapper:
     #    the batched ``step_state`` the reset-select paths vmap — so e.g.
     #    the standard NoDeath-on-lava training setup keeps pooled speed.
     #
-    # Genuinely stateful wrappers (bonuses, Reseed, DirectionObs) thread
-    # per-env WrappedState through resets: ActionBonus implements the
-    # batched pattern below (its visit table persists across resets, so
-    # only the reward/count update needs batching); the rest stay on the
-    # exact step_autoreset path, and the chain walk fails loudly for them
-    # instead of silently delegating past their transforms.
+    # Genuinely stateful wrappers thread per-env WrappedState through
+    # resets: the bonuses and DirectionObs ride the fast paths through
+    # _StatefulFastPath below (visit tables update with a dense one-hot
+    # accumulate; DirectionObs re-derives its goal cache from the
+    # post-select states). ReseedWrapper stays on the exact
+    # step_autoreset path by design — it DICTATES reset layouts, which
+    # contradicts pool/buffer-routed resets — and the chain walk fails
+    # loudly for it instead of silently delegating past its transform.
     def _fast_plan(self):
         """(base_env, [obs wrappers, innermost first],
         [transition wrappers, outermost first]).
@@ -339,17 +341,107 @@ class ReseedWrapper(Wrapper):
         return obs, st, r, te, tr, i
 
 
-class ActionBonus(Wrapper):
-    """1/sqrt(N(s, a)) exploration bonus (wrappers.py:68-123); the (pos,
-    dir, action) visit table is a dense (W, H, 4, 7) array. Like the
-    reference's dict, counts persist across auto-resets."""
+class _StatefulFastPath(Wrapper):
+    """Machinery for OUTERMOST stateful wrappers that ride the batched
+    pooled/presampled/fresh auto-reset paths by threading their
+    WrappedState batch through them: the batch steps via the inner
+    stack's composed ``step_state``, then three hooks place the
+    wrapper's bookkeeping around the reset select:
 
-    def __init__(self, env):
-        super().__init__(env)
+    - ``_post_step(wrapper, st, r, actions) -> (r, wrapper')`` runs on
+      the post-step PRE-select batch (bonuses record the visit of the
+      step just taken and add the reward bonus here — the visit belongs
+      to the finishing episode, and counts persist across resets);
+    - ``_post_select(wrapper', st_selected) -> wrapper''`` runs on the
+      post-select batch (DirectionObs re-derives its per-env goal cache
+      from whatever layouts the reset routed in);
+    - ``_augment_obs(obs, st_selected, wrapper'') -> obs`` applies any
+      wrapper-state-dependent observation transform after the stateless
+      inner observation chain.
+    """
+
+    def _fast_plan(self):
+        if not isinstance(self.env, Wrapper):
+            return self.env, [], []
+        return self.env._fast_plan()
+
+    def _post_step(self, wrapper, st, r, actions):
+        return r, wrapper
+
+    def _post_select(self, wrapper, st):
+        return wrapper
+
+    def _augment_obs(self, obs, st, wrapper):
+        return obs
+
+    def _batched_step(self, keys, states, actions):
+        if not isinstance(states, WrappedState):
+            raise TypeError(
+                f"{type(self).__name__} batched fast paths take the "
+                "WrappedState batch from jax.vmap(wrapper.reset)")
+        base, _, trans = self._fast_plan()
+        step_env = _composed_step_env(base, trans)
+        st, r, te, tr = jax.vmap(step_env.step_state)(
+            keys, states.inner, actions)
+        r, w = self._post_step(states.wrapper, st, r, actions)
+        return base, st, r, te, tr, w
+
+    def step_autoreset_presampled(self, keys, states, actions, reset_state):
+        from minigrid_tpu.envs.base import _apply_broadcast_reset
+
+        base, st, r, te, tr, w = self._batched_step(keys, states, actions)
+        obs, st = _apply_broadcast_reset(base, keys, st, te | tr,
+                                         reset_state)
+        w = self._post_select(w, st)
+        obs = self._augment_obs(self._apply_obs_chain(obs, st), st, w)
+        return obs, WrappedState(inner=st, wrapper=w), r, te, tr, {}
+
+    def step_autoreset_pooled(self, keys, states, actions, pool,
+                              independent: bool = False):
+        from minigrid_tpu.envs.base import draw_pool_row
+
+        if independent:
+            raise NotImplementedError(
+                f"{type(self).__name__} fast path supports the "
+                "broadcast-row pooled mode only")
+        return self.step_autoreset_presampled(
+            keys, states, actions, draw_pool_row(keys, pool))
+
+    def step_autoreset_fresh(self, keys, states, actions, buffer, cursor,
+                             window: int = 32):
+        from minigrid_tpu.envs.base import _fresh_select
+
+        base, st, r, te, tr, w = self._batched_step(keys, states, actions)
+        obs, st, info, cursor = _fresh_select(base, keys, st, te | tr,
+                                              buffer, cursor, window)
+        w = self._post_select(w, st)
+        obs = self._augment_obs(self._apply_obs_chain(obs, st), st, w)
+        return (obs, WrappedState(inner=st, wrapper=w), r, te, tr,
+                info, cursor)
+
+
+class _CountBonus(_StatefulFastPath):
+    """Shared exploration-bonus machinery: a dense per-env visit table in
+    the WrappedState, ``scale / sqrt(N)`` added to the reward, counts
+    persisting across auto-resets (the reference keeps them in an
+    instance dict, wrappers.py:104/:164). Subclasses define the table
+    shape (``_zero_counts``), the per-env visit index (``_visit_index``)
+    and its batched one-hot (``_visit_onehot``).
+
+    On the batched fast paths the table updates with a dense one-hot
+    accumulate: per-row scatters serialize ~5 ns/row on TPU, while the
+    dense add is one fused VPU pass over the B x table lanes."""
+
+    scale = 1.0
 
     def _zero_counts(self):
-        p = self.env.params
-        return jnp.zeros((p.width, p.height, 4, 7), jnp.int32)
+        raise NotImplementedError
+
+    def _visit_index(self, env_state, action):
+        raise NotImplementedError
+
+    def _visit_onehot(self, st, actions):
+        raise NotImplementedError
 
     def reset(self, key, _counts=None):
         obs, state = self.env.reset(key)
@@ -359,11 +451,11 @@ class ActionBonus(Wrapper):
     def step(self, key, state, action):
         obs, inner, r, te, tr, i = self.env.step(key, state.inner, action)
         e = _inner_env_state(inner)
-        idx = (e.agent_pos[0], e.agent_pos[1], e.agent_dir,
-               jnp.asarray(action, jnp.int32))
+        idx = self._visit_index(e, jnp.asarray(action, jnp.int32))
         counts = state.wrapper.at[idx].add(1)
-        bonus = 1.0 / jnp.sqrt(counts[idx].astype(jnp.float32))
-        return obs, state.replace(inner=inner, wrapper=counts), r + bonus, te, tr, i
+        bonus = self.scale / jnp.sqrt(counts[idx].astype(jnp.float32))
+        return (obs, state.replace(inner=inner, wrapper=counts), r + bonus,
+                te, tr, i)
 
     def step_autoreset(self, key, state, action):
         obs, st, r, te, tr, i = self.step(key, state, action)
@@ -373,78 +465,38 @@ class ActionBonus(Wrapper):
         obs = jax.tree.map(lambda a, b: jnp.where(done, b, a), obs, obs_r)
         return obs, st, r, te, tr, i
 
-    # -- batched fast paths: the stateful-wrapper pattern -----------------
-    # ActionBonus (outermost) rides the pooled/presampled/fresh paths by
-    # threading its WrappedState through them itself: the batch steps via
-    # the inner stack's composed step_state, the (B, W, H, 4, 7) visit
-    # table updates with a dense one-hot accumulate (per-row scatters
-    # serialize ~5 ns/row on TPU; the dense add is one fused VPU pass over
-    # B x W*H*28 lanes), and the reset select runs on the inner states
-    # only — counts persist across resets exactly like the reference's
-    # dict (wrappers.py:104).
-    def _fast_plan(self):
-        if not isinstance(self.env, Wrapper):
-            return self.env, [], []
-        return self.env._fast_plan()
+    def _post_step(self, counts, st, r, actions):
+        oh = self._visit_onehot(st, jnp.asarray(actions, jnp.int32))
+        counts = counts + oh.astype(jnp.int32)
+        visits = jnp.where(oh, counts, 0).sum(
+            axis=tuple(range(1, counts.ndim)))
+        return r + self.scale / jnp.sqrt(visits.astype(jnp.float32)), counts
 
-    def _batched_step(self, keys, states, actions):
-        if not isinstance(states, WrappedState):
-            raise TypeError(
-                "ActionBonus batched fast paths take the WrappedState "
-                "batch from jax.vmap(wrapper.reset)")
-        base, _, trans = self._fast_plan()
-        step_env = _composed_step_env(base, trans)
-        st, r, te, tr = jax.vmap(step_env.step_state)(
-            keys, states.inner, actions)
+
+class ActionBonus(_CountBonus):
+    """1/sqrt(N(s, a)) exploration bonus (wrappers.py:68-123); the (pos,
+    dir, action) visit table is a dense (W, H, 4, 7) array. Like the
+    reference's dict, counts persist across auto-resets."""
+
+    def _zero_counts(self):
+        p = self.env.params
+        return jnp.zeros((p.width, p.height, 4, 7), jnp.int32)
+
+    def _visit_index(self, e, action):
+        return (e.agent_pos[0], e.agent_pos[1], e.agent_dir, action)
+
+    def _visit_onehot(self, st, a):
         p = self.params
-        a = jnp.asarray(actions, jnp.int32)
-        oh = ((st.agent_pos[:, 0, None, None, None, None]
-               == jnp.arange(p.width)[:, None, None, None])
-              & (st.agent_pos[:, 1, None, None, None, None]
-                 == jnp.arange(p.height)[:, None, None])
-              & (st.agent_dir[:, None, None, None, None]
-                 == jnp.arange(4)[:, None])
-              & (a[:, None, None, None, None] == jnp.arange(7)))
-        counts = states.wrapper + oh.astype(jnp.int32)
-        visits = jnp.where(oh, counts, 0).sum(axis=(1, 2, 3, 4))
-        bonus = 1.0 / jnp.sqrt(visits.astype(jnp.float32))
-        return base, st, r + bonus, te, tr, counts
-
-    def step_autoreset_presampled(self, keys, states, actions, reset_state):
-        from minigrid_tpu.envs.base import _apply_broadcast_reset
-
-        base, st, r, te, tr, counts = self._batched_step(keys, states,
-                                                         actions)
-        obs, st = _apply_broadcast_reset(base, keys, st, te | tr,
-                                         reset_state)
-        obs = self._apply_obs_chain(obs, st)
-        return obs, WrappedState(inner=st, wrapper=counts), r, te, tr, {}
-
-    def step_autoreset_pooled(self, keys, states, actions, pool,
-                              independent: bool = False):
-        from minigrid_tpu.envs.base import draw_pool_row
-
-        if independent:
-            raise NotImplementedError(
-                "ActionBonus fast path supports the broadcast-row pooled "
-                "mode only")
-        return self.step_autoreset_presampled(
-            keys, states, actions, draw_pool_row(keys, pool))
-
-    def step_autoreset_fresh(self, keys, states, actions, buffer, cursor,
-                             window: int = 32):
-        from minigrid_tpu.envs.base import _fresh_select
-
-        base, st, r, te, tr, counts = self._batched_step(keys, states,
-                                                         actions)
-        obs, st, info, cursor = _fresh_select(base, keys, st, te | tr,
-                                              buffer, cursor, window)
-        obs = self._apply_obs_chain(obs, st)
-        return (obs, WrappedState(inner=st, wrapper=counts), r, te, tr,
-                info, cursor)
+        return ((st.agent_pos[:, 0, None, None, None, None]
+                 == jnp.arange(p.width)[:, None, None, None])
+                & (st.agent_pos[:, 1, None, None, None, None]
+                   == jnp.arange(p.height)[:, None, None])
+                & (st.agent_dir[:, None, None, None, None]
+                   == jnp.arange(4)[:, None])
+                & (a[:, None, None, None, None] == jnp.arange(7)))
 
 
-class PositionBonus(Wrapper):
+class PositionBonus(_CountBonus):
     """1/sqrt(N(pos)) bonus (wrappers.py:126-185). NOTE: the reference
     accepts a ``scale`` argument but hard-codes ``self.scale = 1``
     (wrappers.py:161) — behavior reproduced."""
@@ -453,29 +505,18 @@ class PositionBonus(Wrapper):
         super().__init__(env)
         self.scale = 1  # reference wrappers.py:161 ignores the argument
 
-    def reset(self, key, _counts=None):
-        obs, state = self.env.reset(key)
+    def _zero_counts(self):
         p = self.env.params
-        counts = (jnp.zeros((p.width, p.height), jnp.int32)
-                  if _counts is None else _counts)
-        return obs, WrappedState(inner=state, wrapper=counts)
+        return jnp.zeros((p.width, p.height), jnp.int32)
 
-    def step(self, key, state, action):
-        obs, inner, r, te, tr, i = self.env.step(key, state.inner, action)
-        e = _inner_env_state(inner)
-        idx = (e.agent_pos[0], e.agent_pos[1])
-        counts = state.wrapper.at[idx].add(1)
-        bonus = 1.0 / jnp.sqrt(counts[idx].astype(jnp.float32))
-        return (obs, state.replace(inner=inner, wrapper=counts),
-                r + bonus * self.scale, te, tr, i)
+    def _visit_index(self, e, action):
+        return (e.agent_pos[0], e.agent_pos[1])
 
-    def step_autoreset(self, key, state, action):
-        obs, st, r, te, tr, i = self.step(key, state, action)
-        done = te | tr
-        obs_r, st_r = self.reset(key, _counts=st.wrapper)
-        st = jax.tree.map(lambda a, b: jnp.where(done, b, a), st, st_r)
-        obs = jax.tree.map(lambda a, b: jnp.where(done, b, a), obs, obs_r)
-        return obs, st, r, te, tr, i
+    def _visit_onehot(self, st, a):
+        p = self.params
+        return ((st.agent_pos[:, 0, None, None]
+                 == jnp.arange(p.width)[:, None])
+                & (st.agent_pos[:, 1, None, None] == jnp.arange(p.height)))
 
 
 class ImgObsWrapper(ObservationWrapper):
@@ -639,14 +680,26 @@ class ViewSizeWrapper(ObservationWrapper):
         return {**obs, "image": new_obs["image"]}
 
 
-class DirectionObsWrapper(Wrapper):
+class DirectionObsWrapper(_StatefulFastPath):
     """Slope/angle to the goal (wrappers.py:676-726). The goal coordinate is
     captured at reset; the reference's (row, col) index arithmetic
-    (wrappers.py:703-709) — which swaps x/y — is reproduced verbatim."""
+    (wrappers.py:703-709) — which swaps x/y — is reproduced verbatim.
+
+    Rides the batched fast paths by re-deriving the goal cache from the
+    post-select states each step (``_post_select``): Goal objects never
+    move within an episode (nothing can pick up or toggle a Goal), so
+    the recompute — a B x W x H compare + argmax, noise next to the
+    transition — is observably identical to capture-at-reset."""
 
     def __init__(self, env, type="slope"):
         super().__init__(env)
         self.type = type
+
+    def _post_select(self, w, st):
+        return jax.vmap(self._goal_position)(st)
+
+    def _augment_obs(self, obs, st, w):
+        return jax.vmap(self._augment)(obs, st, w)
 
     def _goal_position(self, state):
         # first goal in row-major list order: idx = j * W + i; the

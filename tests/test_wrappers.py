@@ -226,9 +226,11 @@ def test_stateless_wrappers_ride_fast_paths():
 
 
 def test_stateful_wrappers_still_blocked():
-    """Wrappers carrying per-env state (or transforming actions/rewards)
-    must fail loudly on the batched fast paths instead of silently
-    delegating past their transforms."""
+    """Wrappers whose state the fast paths cannot honor must fail loudly
+    instead of silently delegating past their transforms. ReseedWrapper
+    is the remaining case BY DESIGN: it dictates reset layouts, which
+    contradicts pool/buffer-routed resets (the bonuses and DirectionObs
+    now ride the fast paths via the _StatefulFastPath pattern)."""
     import pytest as _pytest
 
     import minigrid_tpu
@@ -238,7 +240,8 @@ def test_stateful_wrappers_still_blocked():
                                          make_train_step)
     from minigrid_tpu.parallel.rollout import make_rollout
 
-    env = W.PositionBonus(minigrid_tpu.make("MiniGrid-Empty-5x5-v0"))
+    env = W.ReseedWrapper(minigrid_tpu.make("MiniGrid-Empty-5x5-v0"),
+                          seeds=(1, 2))
     with _pytest.raises(NotImplementedError):
         env.step_autoreset_pooled(None, None, None, None)
     with _pytest.raises(NotImplementedError):
@@ -418,3 +421,97 @@ def test_action_bonus_fast_path():
         keys[1], wst2, actions[1])
     assert isinstance(wst3, W.WrappedState)
     assert "reset_overflow" in info
+
+
+def test_position_bonus_fast_path():
+    """PositionBonus rides the batched fast paths via the shared
+    _CountBonus machinery: the dense (B, W, H) count update matches the
+    per-env scatter exactly and counts persist across resets."""
+    import minigrid_tpu
+    from minigrid_tpu import wrappers as W
+    from minigrid_tpu.envs.base import presample_reset_states
+
+    base = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+    w = W.PositionBonus(base)
+    B = 8
+    obs, wst = jax.jit(jax.vmap(w.reset))(
+        jax.random.split(jax.random.PRNGKey(0), B))
+    assert isinstance(wst, W.WrappedState)
+    pool = w.make_pool(jax.random.PRNGKey(1), 16)
+
+    actions = [jnp.full((B,), a, jnp.int32) for a in (2, 0, 2)]
+    keys = [jax.random.split(jax.random.PRNGKey(30 + t), B)
+            for t in range(3)]
+    fast = jax.jit(lambda k, s, a, r: w.step_autoreset_presampled(k, s, a, r))
+    slow = jax.jit(jax.vmap(w.step))
+
+    wst_f, wst_s = wst, wst
+    for t in range(3):
+        st_r = jax.tree.map(
+            lambda x: x[0],
+            presample_reset_states(jax.random.PRNGKey(40 + t), pool, 1))
+        _, wst_f, r_f, te_f, tr_f, _ = fast(keys[t], wst_f, actions[t], st_r)
+        _, wst_s, r_s, te_s, tr_s, _ = slow(keys[t], wst_s, actions[t])
+        assert not bool((te_f | tr_f).any())
+        np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_s),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(wst_f.wrapper),
+                                      np.asarray(wst_s.wrapper))
+    assert int(wst_f.wrapper.sum()) == 3 * B
+
+    # counts persist across a forced truncation wave
+    wst_wave = wst_f.replace(inner=wst_f.inner.replace(
+        step_count=jnp.full((B,), base.params.max_steps - 1)))
+    st_r = jax.tree.map(
+        lambda x: x[0], presample_reset_states(jax.random.PRNGKey(9),
+                                               pool, 1))
+    _, wst2, _, te2, tr2, _ = fast(keys[0], wst_wave, actions[0], st_r)
+    assert bool((te2 | tr2).all())
+    assert int(wst2.wrapper.sum()) == 4 * B
+
+
+def test_direction_obs_fast_path():
+    """DirectionObs rides the batched fast paths: the augmented
+    goal_direction matches the per-env step exactly, and the goal cache
+    re-derives from whatever layout the reset select routed in."""
+    import minigrid_tpu
+    from minigrid_tpu import wrappers as W
+    from minigrid_tpu.envs.base import presample_reset_states
+
+    base = minigrid_tpu.make("MiniGrid-Empty-5x5-v0")
+    w = W.DirectionObsWrapper(base, type="slope")
+    B = 8
+    obs, wst = jax.jit(jax.vmap(w.reset))(
+        jax.random.split(jax.random.PRNGKey(0), B))
+    assert "goal_direction" in obs
+    pool = w.make_pool(jax.random.PRNGKey(1), 16)
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+    fwd = jnp.full((B,), 2, jnp.int32)
+    st_r = jax.tree.map(
+        lambda x: x[0], presample_reset_states(jax.random.PRNGKey(3),
+                                               pool, 1))
+    fast = jax.jit(lambda k, s, a, r: w.step_autoreset_presampled(k, s, a, r))
+    obs_f, wst_f, r_f, te, tr, _ = fast(keys, wst, fwd, st_r)
+    obs_s, wst_s, r_s, *_ = jax.jit(jax.vmap(w.step))(keys, wst, fwd)
+    assert not bool((te | tr).any())
+    np.testing.assert_allclose(np.asarray(obs_f["goal_direction"]),
+                               np.asarray(obs_s["goal_direction"]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(wst_f.wrapper),
+                                  np.asarray(wst_s.wrapper))
+
+    # forced wave: the goal cache must re-derive from the routed layout
+    wave = wst_f.replace(inner=wst_f.inner.replace(
+        step_count=jnp.full((B,), base.params.max_steps - 1)))
+    obs2, wst2, _, te2, tr2, _ = fast(keys, wave, fwd, st_r)
+    assert bool((te2 | tr2).all())
+    goal_expected = jax.vmap(w._goal_position)(wst2.inner)
+    np.testing.assert_array_equal(np.asarray(wst2.wrapper),
+                                  np.asarray(goal_expected))
+
+    # fresh path variant
+    buf = w.presample_fresh(jax.random.PRNGKey(4), 32)
+    obs3, wst3, _, _, _, info, cur = jax.jit(
+        lambda k, s, a: w.step_autoreset_fresh(
+            k, s, a, buf, jnp.zeros((), jnp.int32)))(keys, wst2, fwd)
+    assert "reset_overflow" in info and "goal_direction" in obs3
