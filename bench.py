@@ -20,7 +20,10 @@ Layout generation is compiled ONCE (a batched ``_gen_grid``); every
 benchmark derives its initial states, observations and the layout pool
 from that single batch, so wall-clock goes to measurement, not compiles.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints the record as a JSON line {"metric", "value", "unit",
+"vs_baseline", ...}; the LAST line printed is the complete record (an
+early flushed line carries the headline keys alone so a timeout kill
+during the long per-family sweep cannot lose the whole run).
 vs_baseline is the speedup over the reference's single-core DoorKey-8x8
 rate (~8,300 steps/s, BASELINE.md).
 """
@@ -422,14 +425,7 @@ def main():
         lstates.replace(step_count=loffs), chunk=1024, repeats=3,
         pool=lpool)
 
-    families = {}
-    for fam_id in FAMILY_IDS:
-        t_fam = time.perf_counter()
-        families[fam_id] = bench_family(fam_id)
-        families[fam_id]["wall_s"] = round(time.perf_counter() - t_fam, 1)
-    wfc = bench_wfc()
-
-    print(json.dumps({
+    record = {
         "metric": "doorkey8x8_env_steps_per_s_4096envs",
         "value": round(rate_packed),
         "unit": "steps/s",
@@ -449,9 +445,24 @@ def main():
         "ppo_train_loop_x8_fresh": round(rate_ppo_loop),
         "ppo_train_step_rnn": round(rate_ppo_rnn),
         "autoreset_pooled_nodeath_lava": round(rate_nodeath),
-        "families": families,
-        "wfc_reset": wfc,
-    }))
+    }
+    # Flush the headline record BEFORE the ~12-minute per-family sweep so
+    # an external timeout kill still leaves a parseable JSON line (stdout
+    # through a pipe is block-buffered; a mid-sweep SIGKILL would
+    # otherwise lose everything). A completed run prints the FULL record
+    # as its last line, which supersedes this one for tail-parsers.
+    print(json.dumps({**record, "families": "in progress (partial line; "
+                      "superseded by the final line if present)"}),
+          flush=True)
+
+    families = {}
+    for fam_id in FAMILY_IDS:
+        t_fam = time.perf_counter()
+        families[fam_id] = bench_family(fam_id)
+        families[fam_id]["wall_s"] = round(time.perf_counter() - t_fam, 1)
+    wfc = bench_wfc()
+
+    print(json.dumps({**record, "families": families, "wfc_reset": wfc}))
 
 
 if __name__ == "__main__":
