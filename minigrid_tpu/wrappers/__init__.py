@@ -361,6 +361,16 @@ class _StatefulFastPath(Wrapper):
     """
 
     def _fast_plan(self):
+        if isinstance(self.env, _StatefulFastPath):
+            # Method dispatch would silently delegate past the inner
+            # wrapper's state handling (its override skips the base chain
+            # walk's loud raise); stacked stateful wrappers stay on the
+            # exact step_autoreset path.
+            raise NotImplementedError(
+                f"{type(self).__name__} wraps {type(self.env).__name__}: "
+                "the batched fast paths support ONE stateful wrapper, "
+                "outermost — use step_autoreset (exact resets) for "
+                "stacked stateful wrappers")
         if not isinstance(self.env, Wrapper):
             return self.env, [], []
         return self.env._fast_plan()
@@ -458,9 +468,13 @@ class _CountBonus(_StatefulFastPath):
                 te, tr, i)
 
     def step_autoreset(self, key, state, action):
-        obs, st, r, te, tr, i = self.step(key, state, action)
+        # split as the generic autoreset_step does (envs/base.py): the
+        # replacement layout must not be a deterministic function of the
+        # key that drove this step's dynamics
+        k_step, k_reset = jax.random.split(key)
+        obs, st, r, te, tr, i = self.step(k_step, state, action)
         done = te | tr
-        obs_r, st_r = self.reset(key, _counts=st.wrapper)
+        obs_r, st_r = self.reset(k_reset, _counts=st.wrapper)
         st = jax.tree.map(lambda a, b: jnp.where(done, b, a), st, st_r)
         obs = jax.tree.map(lambda a, b: jnp.where(done, b, a), obs, obs_r)
         return obs, st, r, te, tr, i

@@ -258,6 +258,18 @@ def test_stateful_wrappers_still_blocked():
     with _pytest.raises(NotImplementedError):
         stacked.step_autoreset_pooled(None, None, None, None)
     assert stacked.unwrapped() is stacked.env.env
+    # stateful-over-stateful: the outer override must not silently
+    # delegate past the inner wrapper's state handling
+    for nested in (
+        W.DirectionObsWrapper(W.ActionBonus(
+            minigrid_tpu.make("MiniGrid-Empty-5x5-v0"))),
+        W.ActionBonus(W.PositionBonus(
+            minigrid_tpu.make("MiniGrid-Empty-5x5-v0"))),
+        W.PositionBonus(W.ImgObsWrapper(W.ActionBonus(
+            minigrid_tpu.make("MiniGrid-Empty-5x5-v0")))),
+    ):
+        with _pytest.raises(NotImplementedError):
+            nested._fast_plan()
 
 
 def test_transition_wrappers_ride_fast_paths():
